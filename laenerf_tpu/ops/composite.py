@@ -1,0 +1,98 @@
+"""Volume-rendering compositing over padded [N, S] sample grids.
+
+TPU-native equivalent of the reference's composite_rays_train forward/backward
+CUDA kernels (/root/reference/raymarching/src/raymarching.cu:500-682) and the
+iterative composite_rays inference kernel (:1024-1142).
+
+Redesign: the reference runs a sequential per-ray while loop with an
+analytic backward using suffix sums. Here transmittance is computed as
+``T_excl = exp(-cumsum(sigma * dt))`` — mathematically identical to the
+cumprod of (1 - alpha), but numerically clean (no log(0)), fully
+differentiable by autodiff (which reproduces the reference's analytic
+gradient exactly, including through `weights_sum`, and *also* propagates the
+depth gradient the reference drops), and pure VPU work that XLA fuses.
+
+Early termination (`T < T_thresh` break) is reproduced as a multiplicative
+keep-mask: a sample contributes iff the *inclusive* transmittance of the
+previous sample was still >= T_thresh, matching the reference's
+"accumulate, then break" ordering.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=())
+def composite_rays_train(sigmas, rgbs, dts, ts, valid, t0, T_thresh=1e-4):
+    """Composite padded samples into per-ray outputs.
+
+    Args:
+      sigmas: [N, S] densities (already density_scale'd).
+      rgbs:   [N, S, 3] colors.
+      dts:    [N, S] per-sample dt.
+      ts:     [N, S] sample start t.
+      valid:  [N, S] bool sample validity.
+      t0:     [N] march origin (depth is accumulated relative to it, matching
+              the reference's running `t += deltas[1]`).
+      T_thresh: early-termination transmittance threshold.
+
+    Returns:
+      weights_sum: [N], depth: [N], image: [N, 3], weights: [N, S].
+    """
+    sd = jnp.where(valid, sigmas * dts, 0.0)  # [N, S]
+    csum = jnp.cumsum(sd, axis=1)
+    T_incl = jnp.exp(-csum)  # transmittance after sample i
+    T_excl = jnp.exp(-(csum - sd))  # transmittance before sample i
+    alpha = 1.0 - jnp.exp(-sd)
+    weights = alpha * T_excl  # == T_excl - T_incl
+
+    # include sample i iff T after the previous kept sample was >= thresh
+    prev_T = jnp.concatenate(
+        [jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=1
+    )
+    keep = (prev_T >= T_thresh).astype(weights.dtype)
+    weights = weights * keep
+
+    # reference composite depth: sum_i w_i * (t_post_i - t0)
+    cum_delta = (ts + dts) - t0[:, None]
+    weights_sum = jnp.sum(weights, axis=1)
+    depth = jnp.sum(weights * cum_delta, axis=1)
+    image = jnp.sum(weights[..., None] * rgbs, axis=1)
+    return weights_sum, depth, image
+
+
+def composite_chunk(carry, sigmas, rgbs, dts, ts, valid, t0, T_thresh=1e-4):
+    """One inference compositing round over a chunk of K samples per ray.
+
+    Equivalent of the in-place composite_rays kernel (raymarching.cu:1024-1142)
+    used inside the alive-ray loop: continues from per-ray carry state and
+    lets the transmittance kill rays that fall below T_thresh.
+
+    Args:
+      carry: dict with 'T' [N], 'ws' [N], 'depth' [N], 'rgb' [N, 3].
+      sigmas: [N, K]; rgbs: [N, K, 3]; dts, ts, valid: [N, K].
+      t0: [N] per-ray march origin (depth accumulated relative to it).
+    Returns:
+      updated carry (same structure).
+    """
+    sd = jnp.where(valid, sigmas * dts, 0.0)
+    csum = jnp.cumsum(sd, axis=1)
+    T_in = carry["T"][:, None]
+    T_incl = T_in * jnp.exp(-csum)
+    T_excl = T_in * jnp.exp(-(csum - sd))
+    alpha = 1.0 - jnp.exp(-sd)
+    weights = alpha * T_excl
+
+    prev_T = jnp.concatenate([T_in, T_incl[:, :-1]], axis=1)
+    keep = (prev_T >= T_thresh).astype(weights.dtype)
+    weights = weights * keep
+
+    cum_depth = (ts + dts) - t0[:, None]
+    return {
+        "T": T_incl[:, -1],
+        "ws": carry["ws"] + jnp.sum(weights, axis=1),
+        "depth": carry["depth"] + jnp.sum(weights * cum_depth, axis=1),
+        "rgb": carry["rgb"] + jnp.sum(weights[..., None] * rgbs, axis=1),
+    }

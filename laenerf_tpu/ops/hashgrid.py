@@ -1,0 +1,232 @@
+"""Multi-resolution hash/tiled grid encoding (instant-ngp style).
+
+TPU-native equivalent of the reference's gridencoder CUDA extension
+(/root/reference/gridencoder/src/gridencoder.cu:51-370,
+/root/reference/gridencoder/grid.py:96-161). Matches its semantics exactly:
+
+  * per-level scale  = exp2(level * log2(per_level_scale)) * base_res - 1
+  * resolution       = ceil(scale) + 1
+  * table size/level = min(2**log2_hashmap_size, (res [+1])**D) rounded up to 8
+  * dense indexing below the hashmap threshold, xor-multiply "fast hash" with
+    primes {1, 2654435761, 805459861, ...} above it
+  * corner lerp (optionally smoothstep), out-of-[0,1] inputs produce zeros
+  * embeddings initialised U(-1e-4, 1e-4), output layout [B, L*C]
+
+Design: instead of the reference's one-thread-per-(point,level) CUDA kernel
+with half-precision atomicAdd backward, all (level, corner) gathers are
+batched into a single [B, L*2^D] gather from one flat parameter table and the
+interpolation is one einsum — XLA keeps everything fused, the backward pass
+becomes one scatter-add, and accumulation stays fp32 (no half atomics).
+"""
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static configuration of a multi-resolution grid encoder."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    per_level_scale: float = 2.0
+    gridtype: str = "hash"  # "hash" | "tiled"
+    align_corners: bool = False
+    interpolation: str = "linear"  # "linear" | "smoothstep"
+
+    @staticmethod
+    def create(desired_resolution=None, **kwargs) -> "HashGridSpec":
+        """Build a spec, optionally deriving per_level_scale from the desired
+        finest resolution (reference: gridencoder/grid.py:100-102)."""
+        spec = HashGridSpec(**kwargs)
+        if desired_resolution is not None:
+            s = math.exp2(
+                math.log2(desired_resolution / spec.base_resolution)
+                / (spec.num_levels - 1)
+            )
+            spec = dataclasses.replace(spec, per_level_scale=s)
+        return spec
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def level_scales(self) -> Tuple[float, ...]:
+        s = math.log2(self.per_level_scale)
+        return tuple(
+            math.exp2(l * s) * self.base_resolution - 1.0
+            for l in range(self.num_levels)
+        )
+
+    @property
+    def level_resolutions(self) -> Tuple[int, ...]:
+        return tuple(int(math.ceil(sc)) + 1 for sc in self.level_scales)
+
+    @property
+    def level_sizes(self) -> Tuple[int, ...]:
+        """Number of table rows per level (padded to a multiple of 8)."""
+        max_params = 2 ** self.log2_hashmap_size
+        sizes = []
+        for l in range(self.num_levels):
+            res = int(math.ceil(self.base_resolution * self.per_level_scale ** l))
+            n = min(max_params, (res if self.align_corners else res + 1) ** self.input_dim)
+            sizes.append(int(math.ceil(n / 8) * 8))
+        return tuple(sizes)
+
+    @property
+    def level_offsets(self) -> Tuple[int, ...]:
+        offs, o = [], 0
+        for s in self.level_sizes:
+            offs.append(o)
+            o += s
+        return tuple(offs)
+
+    @property
+    def table_rows(self) -> int:
+        return sum(self.level_sizes)
+
+
+def hashgrid_init(key, spec: HashGridSpec, dtype=jnp.float32):
+    """Initialise the embedding table U(-1e-4, 1e-4) (grid.py:138-140)."""
+    return jax.random.uniform(
+        key, (spec.table_rows, spec.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+    )
+
+
+def _fast_hash(coords):
+    """XOR-multiply hash over the last axis of uint32 coords [..., D]."""
+    D = coords.shape[-1]
+    result = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
+    for d in range(D):
+        result = result ^ (coords[..., d] * jnp.uint32(_PRIMES[d]))
+    return result
+
+
+def _corner_indices(spec: HashGridSpec, level: int, corner_coords):
+    """Map integer corner coords [..., D] to table row indices for a level.
+
+    Replicates get_grid_index (gridencoder.cu:66-84): dense strided index while
+    the running stride fits the hashmap, fast_hash for hash-type levels that
+    overflow, final modulo by the level's (padded) table size.
+    """
+    D = spec.input_dim
+    res = spec.level_resolutions[level]
+    size = spec.level_sizes[level]
+    stride_base = res if spec.align_corners else res + 1
+
+    c = corner_coords.astype(jnp.uint32)
+    index = jnp.zeros(c.shape[:-1], dtype=jnp.uint32)
+    stride = 1
+    overflowed = False
+    for d in range(D):
+        if stride <= size:
+            index = index + c[..., d] * jnp.uint32(stride)
+        stride *= stride_base
+        if stride > size:
+            overflowed = True
+    if spec.gridtype == "hash" and overflowed:
+        index = _fast_hash(c)
+    index = index % jnp.uint32(size)
+    return index.astype(jnp.int32) + spec.level_offsets[level]
+
+
+def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
+                    compute_dtype=None):
+    """Encode positions with the multi-resolution grid.
+
+    Args:
+      table: [table_rows, level_dim] embedding table.
+      x: [..., input_dim] positions in [-bound, bound].
+      spec: static grid configuration.
+      bound: half side length of the domain.
+      compute_dtype: optional dtype for the interpolation math (e.g. bf16).
+
+    Returns:
+      [..., num_levels * level_dim] features, dtype = compute_dtype or table's.
+    """
+    D = spec.input_dim
+    L = spec.num_levels
+    C = spec.level_dim
+    n_corners = 1 << D
+
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, D)
+    B = x.shape[0]
+
+    u = (x.astype(jnp.float32) + bound) / (2.0 * bound)  # [B, D] in [0, 1]
+    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)  # [B]
+
+    all_idx = []
+    all_w = []
+    for level in range(L):
+        scale = spec.level_scales[level]
+        pos = u * scale + (0.0 if spec.align_corners else 0.5)
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        pos_grid = pos_grid.astype(jnp.int32)
+
+        for corner in range(n_corners):
+            bits = [(corner >> d) & 1 for d in range(D)]
+            offset = jnp.array(bits, dtype=jnp.int32)
+            cc = pos_grid + offset  # [B, D]
+            w = jnp.ones((B,), dtype=jnp.float32)
+            for d in range(D):
+                w = w * (frac[:, d] if bits[d] else (1.0 - frac[:, d]))
+            all_idx.append(_corner_indices(spec, level, cc))
+            all_w.append(w)
+
+    idx = jnp.stack(all_idx, axis=1)  # [B, L*2^D]
+    w = jnp.stack(all_w, axis=1)  # [B, L*2^D]
+
+    vals = jnp.take(table, idx, axis=0)  # [B, L*2^D, C]
+    if compute_dtype is not None:
+        vals = vals.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = jnp.einsum("bk,bkc->bkc", w, vals)
+    out = out.reshape(B, L, n_corners, C).sum(axis=2)  # [B, L, C]
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(prefix + (L * C,))
+
+
+def hashgrid_tv_loss(table, key, spec: HashGridSpec, n_points: int = 65536,
+                     bound: float = 1.0, inputs=None):
+    """Total-variation regulariser on the grid.
+
+    Differentiable analogue of the reference's grad_total_variation
+    (gridencoder.cu:506-610, grid.py:163-185), which injects the TV gradient
+    straight into embeddings.grad. Here it is an actual scalar loss: for
+    random (or given) points, sum over levels/dims of the squared difference
+    between the anchor cell's embedding and its +1 neighbour.
+    """
+    D = spec.input_dim
+    if inputs is None:
+        u = jax.random.uniform(key, (n_points, D), dtype=jnp.float32)
+    else:
+        u = (inputs.reshape(-1, D).astype(jnp.float32) + bound) / (2.0 * bound)
+
+    loss = 0.0
+    for level in range(spec.num_levels):
+        scale = spec.level_scales[level]
+        pos = u * scale + (0.0 if spec.align_corners else 0.5)
+        anchor = jnp.floor(pos).astype(jnp.int32)
+        idx0 = _corner_indices(spec, level, anchor)
+        v0 = jnp.take(table, idx0, axis=0)
+        for d in range(D):
+            nb = anchor.at[:, d].add(1)
+            idx1 = _corner_indices(spec, level, nb)
+            v1 = jnp.take(table, idx1, axis=0)
+            loss = loss + jnp.mean(jnp.sum((v0 - v1) ** 2, axis=-1))
+    return loss / spec.num_levels

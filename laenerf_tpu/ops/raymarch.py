@@ -1,0 +1,246 @@
+"""Occupancy-grid ray marching, redesigned for XLA/TPU.
+
+TPU-native equivalent of the reference's raymarching CUDA extension
+(/root/reference/raymarching/src/raymarching.cu): near/far slab test (:92-156),
+background-sphere coords (:163-209), and the occupancy-skipping ray march
+(:312-480 march_rays_train, :714-800 march_rays).
+
+Redesign (see SURVEY.md §7): the reference launches one CUDA thread per ray,
+runs a data-dependent while loop, and atomically compacts samples into a
+ragged [M] buffer. On TPU we instead run a *fixed-length* `lax.scan` over
+"march events", vectorized over all rays on the VPU. Each event either takes
+a sample (when the occupancy grid is hit) or jumps past the empty voxel.
+Outputs are fixed-shape [N, S] sample grids plus validity masks; a cumsum
+based per-row compaction packs each ray's samples to the front. The grid is
+stored *unpacked* as uint8 [CAS, H, H, H] so the hot lookup is one gather —
+no morton bit-twiddling on the critical path (morton/packbits live in
+ops/morton.py for parity and serialization).
+
+dt schedule, multi-mip selection (mip_from_pos/mip_from_dt), voxel skip
+geometry, and the perturbation of t0 all match the reference. The only
+deliberate deviation: an empty-space skip jumps in one closed-form step of
+`n * dt` (exact for dt_gamma == 0); for dt_gamma > 0 a short jump simply
+triggers another skip event next iteration, so correctness is preserved.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SQRT3 = 1.7320508075688772
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Static marching configuration (hashable; safe as a jit static arg)."""
+
+    bound: float = 1.0
+    cascades: int = 1
+    grid_size: int = 128
+    dt_gamma: float = 0.0
+    max_steps: int = 1024  # sets dt_min = 2*sqrt(3)/max_steps
+    march_iters: int = 512  # scan length: march events (samples + skips)
+    max_samples: int = 256  # S: per-ray cap of the padded sample grid
+
+    @property
+    def dt_min(self) -> float:
+        return 2.0 * SQRT3 / self.max_steps
+
+    @property
+    def dt_max(self) -> float:
+        return 2.0 * SQRT3 * (2 ** (self.cascades - 1)) / self.grid_size
+
+
+def near_far_from_aabb(rays_o, rays_d, aabb, min_near: float = 0.2):
+    """Ray/AABB slab test (raymarching.cu:92-156).
+
+    Args:
+      rays_o, rays_d: [N, 3].
+      aabb: [6] (xmin, ymin, zmin, xmax, ymax, zmax).
+      min_near: minimum near distance.
+    Returns:
+      nears, fars: [N]. Missing rays get near == far == a huge value.
+    """
+    rdir = 1.0 / rays_d  # inf where a component is 0 is fine for slab tests
+    t1 = (aabb[:3] - rays_o) * rdir
+    t2 = (aabb[3:] - rays_o) * rdir
+    tmin = jnp.minimum(t1, t2)
+    tmax = jnp.maximum(t1, t2)
+    near = jnp.max(tmin, axis=-1)
+    far = jnp.min(tmax, axis=-1)
+    miss = near > far
+    big = jnp.finfo(rays_o.dtype).max
+    near = jnp.maximum(near, min_near)
+    near = jnp.where(miss, big, near)
+    far = jnp.where(miss, big, far)
+    return near, far
+
+
+def sph_from_ray(rays_o, rays_d, radius: float):
+    """Project rays onto a background sphere (raymarching.cu:163-209).
+
+    Returns [N, 2] (theta, phi) normalized to [-1, 1], y treated as up.
+    """
+    a = jnp.sum(rays_d * rays_d, axis=-1)
+    b = jnp.sum(rays_o * rays_d, axis=-1)
+    c = jnp.sum(rays_o * rays_o, axis=-1) - radius * radius
+    t = (-b + jnp.sqrt(jnp.maximum(b * b - a * c, 0.0))) / a
+    p = rays_o + t[..., None] * rays_d
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    theta = jnp.arctan2(jnp.sqrt(x * x + z * z), y)  # [0, pi)
+    phi = jnp.arctan2(z, x)  # [-pi, pi)
+    return jnp.stack([2.0 * theta / jnp.pi - 1.0, phi / jnp.pi], axis=-1)
+
+
+def _mip_level(x, y, z, dt, cfg: MarchConfig):
+    """max(mip_from_pos, mip_from_dt), clamped to [0, cascades-1].
+
+    frexp's exponent (raymarching.cu:42-54) equals floor(log2(v)) + 1 for
+    v > 0: [0.5, 1) -> 0, [1, 2) -> 1, ...
+    """
+    mx_pos = jnp.maximum(jnp.abs(x), jnp.maximum(jnp.abs(y), jnp.abs(z)))
+    mx_dt = dt * cfg.grid_size * 0.5
+
+    def frexp_exp(v):
+        v = jnp.maximum(v, 1e-30)
+        return jnp.floor(jnp.log2(v)).astype(jnp.int32) + 1
+
+    lvl = jnp.maximum(frexp_exp(mx_pos), frexp_exp(mx_dt))
+    return jnp.clip(lvl, 0, cfg.cascades - 1)
+
+
+def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig):
+    """One march event per ray: sample if occupied, else skip the voxel.
+
+    Args:
+      t: [N] current ray parameter.
+      rays_o, rays_d: [N, 3].
+      grid_flat: [CAS*H*H*H] uint8 occupancy (density grid bitfield, unpacked).
+      edit_flat: optional second grid of the same shape (distill path), or None.
+      cfg: static config.
+    Returns:
+      (t_next, sample) where sample = (ts, dt, occ, edit_occ) all [N].
+    """
+    H = cfg.grid_size
+    bound = cfg.bound
+    dt_min, dt_max = cfg.dt_min, cfg.dt_max
+    gamma = cfg.dt_gamma
+
+    x = jnp.clip(rays_o[:, 0] + t * rays_d[:, 0], -bound, bound)
+    y = jnp.clip(rays_o[:, 1] + t * rays_d[:, 1], -bound, bound)
+    z = jnp.clip(rays_o[:, 2] + t * rays_d[:, 2], -bound, bound)
+
+    dt = jnp.clip(t * gamma, dt_min, dt_max)
+    level = _mip_level(x, y, z, dt, cfg)
+    mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+    inv_mb = 1.0 / mip_bound
+
+    def cell(v):
+        return jnp.clip(0.5 * (v * inv_mb + 1.0) * H, 0.0, H - 1.0).astype(jnp.int32)
+
+    nx, ny, nz = cell(x), cell(y), cell(z)
+    flat_idx = ((level * H + nx) * H + ny) * H + nz
+    occ = jnp.take(grid_flat, flat_idx, axis=0) > 0
+    edit_occ = (
+        jnp.take(edit_flat, flat_idx, axis=0) > 0 if edit_flat is not None
+        else jnp.zeros_like(occ)
+    )
+
+    # Advance: occupied -> one dt step; empty -> jump past the voxel on the
+    # dt lattice (exact for gamma == 0; self-correcting otherwise).
+    rd = 1.0 / rays_d
+    sgn = jnp.sign(rays_d)
+    nxt = jnp.stack([nx, ny, nz], axis=-1).astype(jnp.float32)
+    tv = (((nxt + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0) * mip_bound[:, None]
+          - jnp.stack([x, y, z], axis=-1)) * rd
+    tt = t + jnp.maximum(0.0, jnp.min(tv, axis=-1))
+    n_skip = jnp.floor((tt - t) / dt) + 1.0
+    t_skip = t + jnp.maximum(n_skip, 1.0) * dt
+
+    t_next = jnp.where(occ, t + dt, t_skip)
+    return t_next, (t, dt, occ, edit_occ)
+
+
+@partial(jax.jit, static_argnames=("cfg", "with_edit"))
+def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
+                     cfg: MarchConfig, edit_grid=None, with_edit: bool = False):
+    """March all rays, producing fixed-shape padded sample grids.
+
+    Equivalent of the reference's two-pass march_rays_train
+    (raymarching.cu:312-480) without the count/compact passes: a fixed-length
+    scan over march events followed by a cumsum compaction into [N, S].
+
+    Args:
+      rays_o, rays_d: [N, 3] float32.
+      occupancy: [CAS, H, H, H] uint8 density-grid occupancy.
+      nears, fars: [N] from near_far_from_aabb.
+      noises: [N] in [0, 1) (zeros when not perturbing).
+      cfg: static MarchConfig.
+      edit_grid: optional [CAS, H, H, H] uint8 second grid (distill path).
+      with_edit: static flag; must be True to thread edit_grid.
+
+    Returns dict with:
+      ts:    [N, S] sample start t (pre-increment, as the reference samples).
+      dts:   [N, S] per-sample dt.
+      valid: [N, S] bool sample validity.
+      t0:    [N] perturbed march origin (for depth accumulation).
+      n_samples: [N] int32 number of valid samples per ray.
+      edit_occ: [N, S] bool (all False unless with_edit).
+    """
+    N = rays_o.shape[0]
+    S = cfg.max_samples
+    grid_flat = occupancy.reshape(-1)
+    edit_flat = edit_grid.reshape(-1) if with_edit else None
+
+    t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
+
+    def step(t, _):
+        t_next, sample = _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg)
+        # Freeze rays that have left the volume.
+        done = t >= fars
+        t_next = jnp.where(done, t, t_next)
+        ts, dt, occ, eocc = sample
+        occ = occ & ~done
+        return t_next, (ts, dt, occ, eocc)
+
+    _, (ts, dts, occs, eoccs) = jax.lax.scan(
+        step, t0, None, length=cfg.march_iters
+    )
+    # [I, N] -> [N, I]
+    ts, dts = ts.T, dts.T
+    occs, eoccs = occs.T, eoccs.T
+
+    # Per-row compaction: pack each ray's valid samples to the front.
+    pos = jnp.cumsum(occs, axis=1) - 1  # destination slot within the ray
+    keep = occs & (pos < S)
+    ray_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
+    dest = jnp.where(keep, ray_idx * S + pos, N * S)  # dumpster slot N*S
+
+    def compact(vals, fill=0.0, dtype=jnp.float32):
+        buf = jnp.full((N * S + 1,), fill, dtype=dtype)
+        buf = buf.at[dest.reshape(-1)].set(vals.reshape(-1).astype(dtype))
+        return buf[: N * S].reshape(N, S)
+
+    out_ts = compact(ts)
+    out_dts = compact(dts)
+    out_valid = compact(keep, fill=0, dtype=jnp.int32).astype(bool)
+    out_eocc = compact(eoccs, fill=0, dtype=jnp.int32).astype(bool)
+    n_samples = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+    return {
+        "ts": out_ts,
+        "dts": out_dts,
+        "valid": out_valid,
+        "t0": t0,
+        "n_samples": n_samples,
+        "edit_occ": out_eocc,
+    }
+
+
+def sample_positions(rays_o, rays_d, ts, bound: float):
+    """Recompute clamped sample positions from t values (cheaper than storing
+    [N, S, 3] through the march). Returns [N, S, 3]."""
+    p = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    return jnp.clip(p, -bound, bound)
