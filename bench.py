@@ -1,0 +1,92 @@
+"""Benchmark: rays/sec rendering 800x800 + train iters/sec on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Protocol (BASELINE.md): the reference publishes no numbers; the north-star
+is 800x800 render rays/sec and distill/train iters/sec vs a CUDA A100
+running torch-ngp. We use 1.3e7 rays/s as the A100 reference estimate for
+vs_baseline (instant-ngp-class renderers do 800x800 in ~50ms).
+
+The bench trains a NeRF briefly on a procedural scene (so the occupancy
+grid is realistically sparse), then times full-image renders and train
+steps.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+A100_RAYS_PER_SEC_ESTIMATE = 1.3e7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
+    from laenerf_tpu.models import NeRFConfig, RenderConfig
+    from laenerf_tpu.train import Trainer
+
+    t_setup = time.time()
+    tmp = tempfile.mkdtemp(prefix="laenerf_bench_")
+    generate_synthetic_scene(tmp, n_train=16, n_val=1, n_test=1, H=100, W=100)
+    ds = NeRFDataset(tmp, "train", num_rays=4096)
+
+    model_cfg = NeRFConfig(bound=1.0, num_levels=16, log2_hashmap_size=19)
+    render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
+                              max_steps=1024, march_iters=256,
+                              m_cap_per_ray=48,
+                              infer_chunk_events=32)
+    tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
+                 eval_chunk=65536)
+    tr.mark_untrained(ds)
+
+    # warm up & train so the occupancy grid is realistic
+    warm_steps = 400
+    for step in range(warm_steps):
+        tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
+    jax.block_until_ready(tr.state.params)
+
+    # --- train iters/sec ---
+    n_train_iters = 200
+    batches = [ds.get_batch(i % len(ds)) for i in range(n_train_iters)]
+    t0 = time.time()
+    for b in batches:
+        tr.train_one_batch(b, has_alpha=True)
+    jax.block_until_ready(tr.state.params)
+    train_iters_per_sec = n_train_iters / (time.time() - t0)
+
+    # --- render rays/sec at 800x800 ---
+    H = W = 800
+    # scale intrinsics from the dataset's 100x100
+    intr = ds.intrinsics * (H / ds.H)
+    intr[2], intr[3] = W / 2, H / 2
+    # warmup render (compile)
+    tr.render_image(ds.poses[0], intr, H, W)
+    n_renders = 3
+    t0 = time.time()
+    for i in range(n_renders):
+        tr.render_image(ds.poses[i % len(ds)], intr, H, W)
+    dt = time.time() - t0
+    rays_per_sec = n_renders * H * W / dt
+
+    result = {
+        "metric": "render_rays_per_sec_800x800",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A100_RAYS_PER_SEC_ESTIMATE, 3),
+        "train_iters_per_sec": round(train_iters_per_sec, 2),
+        "render_ms_per_frame": round(1000 * dt / n_renders, 1),
+        "setup_s": round(time.time() - t_setup, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Volume-rendering paths: training, inference, and distillation.
+
+TPU-native equivalent of the reference's NeRFRenderer.run_cuda /
+run_cuda_distill (/root/reference/nerf/renderer.py:259-480). The reference's
+training path marches into a ragged buffer and composites with custom CUDA
+autograd; its inference path is a host-side alive-ray compaction loop. Here:
+
+  * train: fixed-shape march -> compact samples -> one batched network eval
+    -> scatter back -> differentiable masked composite (see ops/).
+  * inference: `lax.while_loop` over march rounds; every round marches K
+    events for all rays and folds the samples into per-ray accumulators
+    (composite_chunk). Rays die by transmittance; the loop exits when all
+    rays are done or max_steps is exhausted. The caller chunks rays so
+    whole tiles retire early (the XLA analogue of alive-ray compaction).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.compaction import compact_samples, gather_flat, scatter_back
+from ..ops.composite import composite_chunk, composite_rays_train
+from ..ops.raymarch import (MarchConfig, _march_event, march_rays_train,
+                            near_far_from_aabb, sample_positions,
+                            sph_from_ray)
+from .nerf import NeRFConfig, nerf_background, nerf_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration."""
+
+    bound: float = 1.0
+    cascades: int = 1
+    grid_size: int = 128
+    dt_gamma: float = 0.0
+    max_steps: int = 1024
+    min_near: float = 0.2
+    density_scale: float = 1.0
+    t_thresh: float = 1e-4
+    # train path shapes: march_iters is the padded event/sample width S
+    march_iters: int = 256
+    m_cap_per_ray: int = 32  # M_cap = N * this (mean_count analogue)
+    # inference path shapes
+    infer_chunk_events: int = 16  # K march events per while_loop round
+
+    @property
+    def march_cfg(self) -> MarchConfig:
+        return MarchConfig(
+            bound=self.bound,
+            cascades=self.cascades,
+            grid_size=self.grid_size,
+            dt_gamma=self.dt_gamma,
+            max_steps=self.max_steps,
+            march_iters=self.march_iters,
+        )
+
+
+def _background(params, model_cfg: NeRFConfig, rays_o, rays_d, bg_color):
+    """Resolve the per-ray background color (renderer.py:276-282)."""
+    if model_cfg.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, model_cfg.bg_radius)
+        return nerf_background(params, model_cfg, sph, rays_d)
+    if bg_color is None:
+        return jnp.ones_like(rays_o)
+    if jnp.ndim(bg_color) == 0:
+        return jnp.full_like(rays_o, bg_color)
+    return jnp.broadcast_to(bg_color, rays_o.shape)
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "perturb"))
+def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
+                      model_cfg: NeRFConfig, render_cfg: RenderConfig,
+                      bg_color=None, perturb: bool = True):
+    """Training-path rendering (renderer.py:285-334).
+
+    Args:
+      params: NeRF parameter pytree.
+      occupancy: [CAS, H, H, H] uint8.
+      rays_o, rays_d: [N, 3].
+      key: PRNG key for march perturbation.
+      bg_color: None (white / bg-model), scalar, or [N, 3].
+    Returns:
+      dict(image [N,3], depth [N], weights_sum [N], nears [N], fars [N],
+           n_samples [N]).
+    """
+    N = rays_o.shape[0]
+    cfg = render_cfg.march_cfg
+    aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                     render_cfg.min_near)
+    noises = (jax.random.uniform(key, (N,)) if perturb
+              else jnp.zeros((N,), jnp.float32))
+
+    march = march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
+                             cfg)
+    # the march is index work — no gradients flow through it (the reference's
+    # CUDA march is likewise non-differentiable)
+    march = jax.lax.stop_gradient(march)
+    ts, dts, valid = march["ts"], march["dts"], march["valid"]
+    S = cfg.march_iters
+
+    # Compact for the network eval (the expensive part), [N*S] -> [M_cap].
+    m_cap = N * render_cfg.m_cap_per_ray
+    gather_idx, gather_mask, dest = compact_samples(valid, m_cap)
+    xyz = sample_positions(rays_o, rays_d, ts, cfg.bound)  # [N, S, 3]
+    xyz_c = gather_flat(xyz.reshape(N * S, 3), gather_idx)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3)).reshape(N * S, 3)
+    dirs_c = gather_flat(dirs, gather_idx)
+
+    sigmas_c, rgbs_c = nerf_forward(params, model_cfg, xyz_c, dirs_c)
+    sigmas_c = sigmas_c * render_cfg.density_scale
+    sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
+
+    sigmas = scatter_back(sigmas_c[:, None], dest, (N, S))[..., 0]
+    rgbs = scatter_back(rgbs_c, dest, (N, S))
+
+    weights_sum, depth, image = composite_rays_train(
+        sigmas, rgbs, dts, ts, valid, march["t0"], render_cfg.t_thresh
+    )
+    bg = _background(params, model_cfg, rays_o, rays_d, bg_color)
+    image = image + (1.0 - weights_sum)[:, None] * bg
+    return {
+        "image": image,
+        "depth": depth,
+        "weights_sum": weights_sum,
+        "nears": nears,
+        "fars": fars,
+        "n_samples": march["n_samples"],
+    }
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "perturb"))
+def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
+                      model_cfg: NeRFConfig, render_cfg: RenderConfig,
+                      bg_color=None, perturb: bool = False):
+    """Inference-path rendering (renderer.py:336-392) as a while_loop.
+
+    Returns dict(image [N,3], depth [N], weights_sum [N], nears [N]).
+    """
+    N = rays_o.shape[0]
+    cfg = render_cfg.march_cfg
+    K = render_cfg.infer_chunk_events
+    aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                     render_cfg.min_near)
+    noises = (jax.random.uniform(key, (N,)) if perturb
+              else jnp.zeros((N,), jnp.float32))
+    t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
+
+    grid_flat = occupancy.reshape(-1)
+
+    def march_round(t):
+        """March K events for every ray; returns per-round padded samples."""
+        def step(tc, _):
+            t_next, (ts_s, dt_s, occ, _) = _march_event(
+                tc, rays_o, rays_d, grid_flat, None, cfg
+            )
+            done = tc >= fars
+            t_next = jnp.where(done, tc, t_next)
+            return t_next, (ts_s, dt_s, occ & ~done)
+
+        t_new, (ts, dt, occ) = jax.lax.scan(step, t, None, length=K)
+        return t_new, ts.T, dt.T, occ.T  # [N, K]
+
+    init = {
+        "t": t0,
+        "acc": {
+            "T": jnp.ones((N,), jnp.float32),
+            "ws": jnp.zeros((N,), jnp.float32),
+            "depth": jnp.zeros((N,), jnp.float32),
+            "rgb": jnp.zeros((N, 3), jnp.float32),
+        },
+        "round": jnp.zeros((), jnp.int32),
+    }
+
+    max_rounds = cfg.max_steps // K
+
+    def cond(c):
+        alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
+        return jnp.any(alive) & (c["round"] < max_rounds)
+
+    def body(c):
+        t_new, ts, dt, valid = march_round(c["t"])
+        xyz = sample_positions(rays_o, rays_d, ts, cfg.bound).reshape(-1, 3)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(-1, 3)
+        sig, rgb = nerf_forward(params, model_cfg, xyz, dirs)
+        sig = (sig * render_cfg.density_scale).reshape(N, K)
+        rgb = rgb.reshape(N, K, 3)
+        acc = composite_chunk(c["acc"], sig, rgb, dt, ts, valid, t0,
+                              render_cfg.t_thresh)
+        return {"t": t_new, "acc": acc, "round": c["round"] + 1}
+
+    out = jax.lax.while_loop(cond, body, init)
+    acc = out["acc"]
+    bg = _background(params, model_cfg, rays_o, rays_d, bg_color)
+    image = acc["rgb"] + (1.0 - acc["ws"])[:, None] * bg
+    return {
+        "image": image,
+        "depth": acc["depth"],
+        "weights_sum": acc["ws"],
+        "nears": nears,
+        "fars": fars,
+    }

@@ -41,8 +41,9 @@ class MarchConfig:
     grid_size: int = 128
     dt_gamma: float = 0.0
     max_steps: int = 1024  # sets dt_min = 2*sqrt(3)/max_steps
-    march_iters: int = 512  # scan length: march events (samples + skips)
-    max_samples: int = 256  # S: per-ray cap of the padded sample grid
+    # scan length == padded sample-grid width S; march events are samples
+    # OR empty-space skips, so budget a margin above the expected samples
+    march_iters: int = 256
 
     @property
     def dt_min(self) -> float:
@@ -169,15 +170,23 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
     """March all rays, producing fixed-shape padded sample grids.
 
     Equivalent of the reference's two-pass march_rays_train
-    (raymarching.cu:312-480) without the count/compact passes: a fixed-length
-    scan over march events followed by a cumsum compaction into [N, S].
+    (raymarching.cu:312-480) without the count/compact passes: one
+    fixed-length scan over march events. The event grid [N, I] *is* the
+    padded sample grid — skip events are simply invalid slots (masked in
+    compositing, dropped before network eval by ops/compaction.py). This
+    avoids the reference's ragged compaction entirely: TPU scatters are
+    expensive, and the composite is mask-tolerant anyway.
+
+    The scan is unrolled 8x: each loop iteration is tiny VPU work over [N]
+    vectors plus one occupancy gather, so loop-dispatch overhead dominates
+    without unrolling.
 
     Args:
       rays_o, rays_d: [N, 3] float32.
       occupancy: [CAS, H, H, H] uint8 density-grid occupancy.
       nears, fars: [N] from near_far_from_aabb.
       noises: [N] in [0, 1) (zeros when not perturbing).
-      cfg: static MarchConfig.
+      cfg: static MarchConfig (march_iters == padded sample width S).
       edit_grid: optional [CAS, H, H, H] uint8 second grid (distill path).
       with_edit: static flag; must be True to thread edit_grid.
 
@@ -189,8 +198,6 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
       n_samples: [N] int32 number of valid samples per ray.
       edit_occ: [N, S] bool (all False unless with_edit).
     """
-    N = rays_o.shape[0]
-    S = cfg.max_samples
     grid_flat = occupancy.reshape(-1)
     edit_flat = edit_grid.reshape(-1) if with_edit else None
 
@@ -206,36 +213,20 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
         return t_next, (ts, dt, occ, eocc)
 
     _, (ts, dts, occs, eoccs) = jax.lax.scan(
-        step, t0, None, length=cfg.march_iters
+        step, t0, None, length=cfg.march_iters, unroll=8
     )
-    # [I, N] -> [N, I]
+    # [I, N] -> [N, I]; the event axis is already t-ordered per ray.
     ts, dts = ts.T, dts.T
     occs, eoccs = occs.T, eoccs.T
-
-    # Per-row compaction: pack each ray's valid samples to the front.
-    pos = jnp.cumsum(occs, axis=1) - 1  # destination slot within the ray
-    keep = occs & (pos < S)
-    ray_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
-    dest = jnp.where(keep, ray_idx * S + pos, N * S)  # dumpster slot N*S
-
-    def compact(vals, fill=0.0, dtype=jnp.float32):
-        buf = jnp.full((N * S + 1,), fill, dtype=dtype)
-        buf = buf.at[dest.reshape(-1)].set(vals.reshape(-1).astype(dtype))
-        return buf[: N * S].reshape(N, S)
-
-    out_ts = compact(ts)
-    out_dts = compact(dts)
-    out_valid = compact(keep, fill=0, dtype=jnp.int32).astype(bool)
-    out_eocc = compact(eoccs, fill=0, dtype=jnp.int32).astype(bool)
-    n_samples = jnp.sum(keep, axis=1).astype(jnp.int32)
+    n_samples = jnp.sum(occs, axis=1).astype(jnp.int32)
 
     return {
-        "ts": out_ts,
-        "dts": out_dts,
-        "valid": out_valid,
+        "ts": ts,
+        "dts": dts,
+        "valid": occs,
         "t0": t0,
         "n_samples": n_samples,
-        "edit_occ": out_eocc,
+        "edit_occ": eoccs & occs,
     }
 
 

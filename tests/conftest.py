@@ -1,15 +1,12 @@
 """Test configuration: run everything on CPU with 8 virtual devices so the
-data-parallel mesh paths are exercised without TPU hardware (SURVEY.md §4)."""
+data-parallel mesh paths are exercised without TPU hardware (SURVEY.md §4).
 
-import os
+Note: this environment's 'axon' TPU plugin overrides the JAX_PLATFORMS env
+var, so the config API must be used instead.
+"""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
 
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

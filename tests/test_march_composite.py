@@ -22,7 +22,7 @@ def _full_grid(cfg):
 def test_march_full_grid_uniform_steps():
     """With a fully-occupied grid and dt_gamma=0, samples advance by dt_min."""
     cfg = MarchConfig(bound=1.0, cascades=1, grid_size=16, dt_gamma=0.0,
-                      max_steps=64, march_iters=64, max_samples=64)
+                      max_steps=64, march_iters=64)
     rays_o = jnp.array([[0.0, 0.0, -3.0]])
     rays_d = jnp.array([[0.0, 0.0, 1.0]])
     aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
@@ -42,7 +42,7 @@ def test_march_full_grid_uniform_steps():
 
 def test_march_empty_grid_no_samples():
     cfg = MarchConfig(bound=1.0, cascades=1, grid_size=16, max_steps=64,
-                      march_iters=64, max_samples=64)
+                      march_iters=64)
     grid = jnp.zeros((1, 16, 16, 16), dtype=jnp.uint8)
     rays_o = jnp.array([[0.0, 0.0, -3.0]])
     rays_d = jnp.array([[0.0, 0.0, 1.0]])
@@ -55,7 +55,7 @@ def test_march_empty_grid_no_samples():
 def test_march_skips_empty_voxels():
     """Only the occupied half of the volume should produce samples."""
     cfg = MarchConfig(bound=1.0, cascades=1, grid_size=16, max_steps=128,
-                      march_iters=160, max_samples=128)
+                      march_iters=160)
     H = 16
     grid = np.zeros((1, H, H, H), dtype=np.uint8)
     grid[0, :, :, H // 2:] = 1  # occupied for z >= 0
@@ -67,14 +67,16 @@ def test_march_skips_empty_voxels():
                            jnp.zeros(1), cfg)
     n = int(out["n_samples"][0])
     assert n > 0
-    xyz = np.asarray(sample_positions(rays_o, rays_d, out["ts"], 1.0))[0, :n]
+    xyz = np.asarray(sample_positions(rays_o, rays_d, out["ts"], 1.0))[0]
+    mask = np.asarray(out["valid"][0])
+    xyz = xyz[mask]
     # samples should be at z >= ~0 (allow one step of slack at the boundary)
     assert xyz[:, 2].min() > -2 * cfg.dt_min
 
 
 def test_march_miss_ray():
     cfg = MarchConfig(bound=1.0, cascades=1, grid_size=16, max_steps=64,
-                      march_iters=64, max_samples=64)
+                      march_iters=64)
     rays_o = jnp.array([[0.0, 5.0, -3.0]])
     rays_d = jnp.array([[0.0, 0.0, 1.0]])
     aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
