@@ -31,6 +31,9 @@ def main():
     from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
     from laenerf_tpu.models import NeRFConfig, RenderConfig
     from laenerf_tpu.train import Trainer
+    from laenerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     t_setup = time.time()
     tmp = tempfile.mkdtemp(prefix="laenerf_bench_")
@@ -40,20 +43,20 @@ def main():
     model_cfg = NeRFConfig(bound=1.0, num_levels=16, log2_hashmap_size=19)
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=1024, march_iters=256,
-                              m_cap_per_ray=48,
-                              infer_chunk_events=32)
+                              m_cap_per_ray=32,
+                              infer_chunk_events=16)
     tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
-                 eval_chunk=65536)
+                 eval_chunk=16384)
     tr.mark_untrained(ds)
 
     # warm up & train so the occupancy grid is realistic
-    warm_steps = 400
+    warm_steps = 120
     for step in range(warm_steps):
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
     jax.block_until_ready(tr.state.params)
 
     # --- train iters/sec ---
-    n_train_iters = 200
+    n_train_iters = 50
     batches = [ds.get_batch(i % len(ds)) for i in range(n_train_iters)]
     t0 = time.time()
     for b in batches:
@@ -68,7 +71,7 @@ def main():
     intr[2], intr[3] = W / 2, H / 2
     # warmup render (compile)
     tr.render_image(ds.poses[0], intr, H, W)
-    n_renders = 3
+    n_renders = 2
     t0 = time.time()
     for i in range(n_renders):
         tr.render_image(ds.poses[i % len(ds)], intr, H, W)

@@ -91,6 +91,7 @@ class NeRFDataset:
         self.poses = []
         self.images = []
         self.masks = []
+        self.depths = []  # filled by distillation (depth supervision)
 
         if self.mode == "colmap" and split == "test":
             # interpolate a test trajectory between two random poses
@@ -262,6 +263,10 @@ class NeRFDataset:
             batch["pixels"] = flat[inds]
         if inds_coarse is not None:
             batch["inds_coarse"] = inds_coarse
+        # distillation depth supervision targets (filled by
+        # editing.distill.distill_dataset; utils.py:586-589 equivalent)
+        if len(self.depths) > 0:
+            batch["depth"] = np.asarray(self.depths[index])[inds]
         return batch
 
     def update_error_map(self, index: int, inds_coarse, errors):

@@ -1,0 +1,235 @@
+"""LAENeRF training loop (the "style encoder" training phase).
+
+TPU-native equivalent of Trainer.train_LAENeRF_step
+(/root/reference/nerf/utils.py:953-1055): per step, one view's masked rays
+are pushed through LAENeRF; the loss is MSE vs the frozen NeRF's colors
+plus weight/offset/palette regularizers, and — after warmup_iterations —
+style-Gram / (depth-weighted) TV / smooth-transition / depth-discontinuity
+losses computed on the predicted colors scatter-reassembled into the view's
+crop window. Optimized with Adam(1e-3), palette at 2x lr
+(style_encoder.py:240-248). Palette pruning runs at
+(train_steps_style - distill_palette_steps) (gui.py:2004-2021).
+
+Design: fixed shapes throughout — rays padded to EditDataset.n_pad, crops
+to (crop_h, crop_w) — so the whole step is one jitted function.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .laenerf import LAENeRFConfig, LAENeRFLosses, laenerf_forward_train, prune_palette
+from .vgg import normalize_imagenet, vgg_features
+from .style import gram_matrices
+
+
+@dataclasses.dataclass(frozen=True)
+class StyleLossWeights:
+    """Loss weights (defaults mirror main_nerf.py:80-125; run scripts set
+    the operative values, e.g. run_llff.sh:58-66,94-97)."""
+
+    tv_weight: float = 0.0
+    depth_disc_weight: float = 0.0
+    smooth_trans_weight: float = 0.0
+    style_weight: float = 0.0
+    intensity_weight: float = 0.0
+    offset_loss: float = 0.0
+    weight_loss_non_uniform: float = 0.0
+    weight_loss_uniform: float = 0.0
+    palette_loss_valid: float = 0.0
+    palette_loss_distinct: float = 0.0
+    tv_depth_guide: bool = False
+    warmup_iterations: int = 1000
+
+
+def make_style_optimizer(lr: float = 1e-3):
+    """Adam with the palette at 2x lr (style_encoder.py:240-248)."""
+
+    def label_fn(params):
+        return {k: ("palette" if k == "palette" else "net") for k in params}
+
+    return optax.multi_transform(
+        {"net": optax.adam(lr), "palette": optax.adam(2 * lr)}, label_fn
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "weights", "optimizer", "H", "W",
+                                   "crop_h", "crop_w", "use_style",
+                                   "past_warmup", "style_layers"))
+def laenerf_train_step(params, opt_state, active, batch, key, *,
+                       cfg: LAENeRFConfig, weights: StyleLossWeights,
+                       optimizer, H: int, W: int, crop_h: int, crop_w: int,
+                       use_style: bool, past_warmup: bool,
+                       vgg_params=None, style_layers=None, gram_targets=None):
+    """One LAENeRF optimization step on one view's padded batch.
+
+    Args:
+      batch: dict from EditDataset.get_batch, as jnp arrays.
+      use_style/past_warmup: static switches for the crop-loss block.
+      vgg_params/style_layers/gram_targets: style-loss state (traced).
+    Returns (new_params, new_opt_state, aux).
+    """
+    valid = batch["valid"]
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+
+    def loss_fn(params):
+        colors, w_hat, o_hat = laenerf_forward_train(
+            params, cfg, batch["x_term"], batch["dirs"], active
+        )
+        vm = valid[:, None]
+        # masked MSE (reference: nn.MSELoss over the view's rays)
+        mse = jnp.sum(((colors - batch["targets"]) ** 2) * vm) / (3 * n_valid)
+        loss = mse
+        loss = loss + LAENeRFLosses.weights(
+            w_hat, weights.weight_loss_uniform,
+            weights.weight_loss_non_uniform, valid=valid.astype(jnp.float32),
+        )
+        loss = loss + LAENeRFLosses.offsets(o_hat * vm, weights.offset_loss)
+        loss = loss + LAENeRFLosses.palette(
+            params["palette"], active, weights.palette_loss_valid,
+            weights.palette_loss_distinct,
+        )
+        if weights.intensity_weight > 0:
+            loss = loss + weights.intensity_weight * LAENeRFLosses.intensity(
+                batch["targets"] * vm, colors * vm
+            )
+
+        if past_warmup and (weights.style_weight > 0 or weights.tv_weight > 0
+                            or weights.smooth_trans_weight > 0
+                            or weights.depth_disc_weight > 0):
+            # scatter predictions into the full image, crop the window
+            flat = jnp.zeros((H * W + 1, 3), jnp.float32)
+            flat = flat.at[batch["inds"]].set(
+                jnp.where(vm, colors.astype(jnp.float32), 0.0)
+            )
+            img = flat[: H * W].reshape(H, W, 3)
+            img = jax.lax.dynamic_slice(
+                img, (batch["crop_origin"][0], batch["crop_origin"][1], 0),
+                (crop_h, crop_w, 3),
+            )
+            img_chw = jnp.moveaxis(img, -1, 0)
+
+            if use_style and weights.style_weight > 0:
+                x = jax.image.resize(img_chw, (3, 256, 256), "bilinear")
+                feats = vgg_features(vgg_params[0], vgg_params[1],
+                                     normalize_imagenet(x)[None],
+                                     style_layers)
+                grams = gram_matrices(feats)
+                sloss = 0.0
+                n = 0
+                for g, t in zip(grams, gram_targets):
+                    sloss = sloss + jnp.sum((g - t) ** 2)
+                    n += g.size
+                loss = loss + weights.style_weight * sloss / n
+
+            if weights.tv_weight > 0:
+                if weights.tv_depth_guide:
+                    tv = LAENeRFLosses.tv_depth_weighted(
+                        img_chw, batch["tv_v"], batch["tv_h"],
+                        batch["cut_smooth"]
+                        if weights.smooth_trans_weight > 0 else None,
+                    )
+                else:
+                    tv = LAENeRFLosses.tv(img_chw)
+                loss = loss + weights.tv_weight * tv
+
+            if weights.smooth_trans_weight > 0:
+                loss = loss + weights.smooth_trans_weight * \
+                    LAENeRFLosses.smooth_transition(
+                        batch["cut_gt"], img, batch["cut_smooth"]
+                    )
+
+            if weights.depth_disc_weight > 0:
+                loss = loss + weights.depth_disc_weight * \
+                    LAENeRFLosses.depth_discontinuity(
+                        img_chw, batch["tv_v"], batch["tv_h"]
+                    )
+
+        return loss, mse
+
+    (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    return new_params, new_opt_state, {"loss": loss, "mse": mse}
+
+
+class LAENeRFTrainer:
+    """Drives the LAENeRF training phase over an EditDataset."""
+
+    def __init__(self, cfg: LAENeRFConfig, weights: StyleLossWeights,
+                 edit_dataset, style_network=None, lr: float = 1e-3,
+                 seed: int = 0):
+        from .laenerf import laenerf_init
+
+        self.cfg = cfg
+        self.weights = weights
+        self.ds = edit_dataset
+        self.style_network = style_network
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k = jax.random.split(self.key)
+        self.params, self.active = laenerf_init(k, cfg)
+        self.optimizer = make_style_optimizer(lr)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+
+        if style_network is not None:
+            self._vgg = (style_network.params, style_network.kinds)
+            self._style_layers = style_network.style_layers
+        else:
+            self._vgg = None
+            self._style_layers = None
+
+    def _gram_targets(self):
+        if self.style_network is None:
+            return None
+        sn = self.style_network
+        if sn.preserve_color and sn.gram_color is not None:
+            return sn.gram_color
+        return sn.gram_style
+
+    def train_steps(self, n: int):
+        """Run n steps, cycling shuffled views (train_LAENeRF_step loop)."""
+        losses = []
+        order = self.ds.epoch_indices()
+        oi = 0
+        for _ in range(n):
+            if oi >= len(order):
+                order = self.ds.epoch_indices()
+                oi = 0
+            batch = self.ds.get_batch(int(order[oi]))
+            oi += 1
+            self.key, k = jax.random.split(self.key)
+            jb = {k2: jnp.asarray(v) for k2, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+            self.params, self.opt_state, aux = laenerf_train_step(
+                self.params, self.opt_state, self.active, jb, k,
+                cfg=self.cfg, weights=self.weights, optimizer=self.optimizer,
+                H=self.ds.H, W=self.ds.W, crop_h=self.ds.crop_h,
+                crop_w=self.ds.crop_w,
+                use_style=self.style_network is not None,
+                past_warmup=self.step > self.weights.warmup_iterations,
+                vgg_params=self._vgg, style_layers=self._style_layers,
+                gram_targets=self._gram_targets(),
+            )
+            self.step += 1
+            losses.append(float(aux["mse"]))
+        return float(np.mean(losses))
+
+    def prune(self, n_views: int = 10, thresh: float = 0.025):
+        """Palette pruning (style_encoder.py:160-172)."""
+        idx = self.rngint(n_views)
+        views = [self.ds.get_batch(i, jitter=False)["x_term"] for i in idx]
+        self.active = prune_palette(self.params, self.cfg, self.active,
+                                    views, thresh)
+        return np.asarray(self.active)
+
+    def rngint(self, n):
+        self.key, k = jax.random.split(self.key)
+        return np.asarray(
+            jax.random.randint(k, (n,), 0, len(self.ds))
+        )

@@ -205,3 +205,113 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         "nears": nears,
         "fars": fars,
     }
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "perturb",
+                                   "grow_grid"))
+def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
+                        model_cfg: NeRFConfig, render_cfg: RenderConfig,
+                        perturb: bool = False, grow_grid: bool = False):
+    """Distillation-path rendering with a second (edit) grid.
+
+    Equivalent of run_cuda_distill (renderer.py:394-480) +
+    march/composite_rays_distill (raymarching.cu:811-945,1038-1142): marches
+    the density grid (or the edit grid itself when grow_grid), flags samples
+    inside the edit grid, and accumulates separate edit weight/depth sums.
+    Depth here is the *absolute* ray parameter (sum w * t), matching the
+    reference, so `x_term = rays_o + depth * rays_d`.
+
+    Returns dict(image, depth, depth_edit, weights, weights_edit, x_term,
+    nears, min_near).
+    """
+    N = rays_o.shape[0]
+    cfg = render_cfg.march_cfg
+    K = render_cfg.infer_chunk_events
+    aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                     render_cfg.min_near)
+    noises = (jax.random.uniform(key, (N,)) if perturb
+              else jnp.zeros((N,), jnp.float32))
+    t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
+
+    march_grid = (edit_grid if grow_grid else occupancy).reshape(-1)
+    edit_flat = edit_grid.reshape(-1)
+
+    def march_round(t):
+        def step(tc, _):
+            t_next, (ts_s, dt_s, occ, eocc) = _march_event(
+                tc, rays_o, rays_d, march_grid, edit_flat, cfg
+            )
+            done = tc >= fars
+            t_next = jnp.where(done, tc, t_next)
+            return t_next, (ts_s, dt_s, occ & ~done, eocc)
+
+        t_new, (ts, dt, occ, eocc) = jax.lax.scan(step, t, None, length=K)
+        return t_new, ts.T, dt.T, occ.T, eocc.T
+
+    zeros = jnp.zeros((N,), jnp.float32)
+    init = {
+        "t": t0,
+        "acc": {"T": jnp.ones((N,), jnp.float32), "ws": zeros,
+                "depth": zeros, "rgb": jnp.zeros((N, 3), jnp.float32)},
+        "ws_edit": zeros,
+        "depth_edit": zeros,
+        "round": jnp.zeros((), jnp.int32),
+    }
+    max_rounds = cfg.max_steps // K
+
+    def cond(c):
+        alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
+        return jnp.any(alive) & (c["round"] < max_rounds)
+
+    def body(c):
+        t_new, ts, dt, valid, eocc = march_round(c["t"])
+        xyz = sample_positions(rays_o, rays_d, ts, cfg.bound).reshape(-1, 3)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(-1, 3)
+        sig, rgb = nerf_forward(params, model_cfg, xyz, dirs)
+        sig = (sig * render_cfg.density_scale).reshape(N, K)
+        rgb = rgb.reshape(N, K, 3)
+
+        # shared weight computation (absolute-t depth: pass t0 = 0)
+        sd = jnp.where(valid, sig * dt, 0.0)
+        csum = jnp.cumsum(sd, axis=1)
+        T_in = c["acc"]["T"][:, None]
+        T_incl = T_in * jnp.exp(-csum)
+        T_excl = T_in * jnp.exp(-(csum - sd))
+        alpha = 1.0 - jnp.exp(-sd)
+        weights = alpha * T_excl
+        prev_T = jnp.concatenate([T_in, T_incl[:, :-1]], axis=1)
+        keep = (prev_T >= render_cfg.t_thresh).astype(weights.dtype)
+        weights = weights * keep
+        t_abs = ts + dt  # post-increment absolute t (deltas[1]-accumulated)
+
+        acc = c["acc"]
+        e = (eocc & valid).astype(weights.dtype)
+        new_acc = {
+            "T": T_incl[:, -1],
+            "ws": acc["ws"] + jnp.sum(weights, axis=1),
+            "depth": acc["depth"] + jnp.sum(weights * t_abs, axis=1),
+            "rgb": acc["rgb"] + jnp.sum(weights[..., None] * rgb, axis=1),
+        }
+        return {
+            "t": t_new,
+            "acc": new_acc,
+            "ws_edit": c["ws_edit"] + jnp.sum(weights * e, axis=1),
+            "depth_edit": c["depth_edit"] + jnp.sum(weights * t_abs * e,
+                                                    axis=1),
+            "round": c["round"] + 1,
+        }
+
+    out = jax.lax.while_loop(cond, body, init)
+    acc = out["acc"]
+    x_term = rays_o + acc["depth"][:, None] * rays_d
+    return {
+        "image": acc["rgb"],
+        "depth": acc["depth"],
+        "depth_edit": out["depth_edit"],
+        "weights": acc["ws"],
+        "weights_edit": out["ws_edit"],
+        "x_term": x_term,
+        "nears": nears,
+        "min_near": jnp.min(nears),
+    }

@@ -177,9 +177,10 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
     avoids the reference's ragged compaction entirely: TPU scatters are
     expensive, and the composite is mask-tolerant anyway.
 
-    The scan is unrolled 8x: each loop iteration is tiny VPU work over [N]
+    The scan is unrolled 2x: each loop iteration is tiny VPU work over [N]
     vectors plus one occupancy gather, so loop-dispatch overhead dominates
-    without unrolling.
+    without unrolling (higher unroll factors blow up XLA compile time for
+    marginal gain — the train step is gather-bound, not march-bound).
 
     Args:
       rays_o, rays_d: [N, 3] float32.
@@ -213,7 +214,7 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
         return t_next, (ts, dt, occ, eocc)
 
     _, (ts, dts, occs, eoccs) = jax.lax.scan(
-        step, t0, None, length=cfg.march_iters, unroll=8
+        step, t0, None, length=cfg.march_iters, unroll=2
     )
     # [I, N] -> [N, I]; the event axis is already t-ordered per ray.
     ts, dts = ts.T, dts.T

@@ -210,6 +210,27 @@ class Trainer:
         self.global_step += 1
         return aux
 
+    def train_one_batch_distill(self, batch, has_alpha: bool,
+                                depth_sup: bool = False):
+        """Fine-tune step on distilled images (utils.py:535-642 with
+        distill=True; depth supervision when stylizing, gui.py:200-202)."""
+        self.maybe_update_occupancy()
+        depth_target = None
+        if depth_sup and "depth" in batch:
+            depth_target = jnp.asarray(batch["depth"])
+        self.state, aux = train_step(
+            self.state, self.occ_state.occupancy,
+            jnp.asarray(batch["pose"]), jnp.asarray(batch["intrinsics"]),
+            jnp.asarray(batch["inds"]), jnp.asarray(batch["pixels"]),
+            self._next_key(), model_cfg=self.model_cfg,
+            render_cfg=self.render_cfg, optimizer=self.optimizer,
+            ema_decay=self.ema_decay, has_alpha=has_alpha,
+            bg_white=self.bg_white, H=batch["H"], W=batch["W"],
+            distill=True, depth_target=depth_target,
+        )
+        self.global_step += 1
+        return aux
+
     def train(self, dataset, max_steps: Optional[int] = None,
               valid_dataset=None, eval_interval: int = 0, log_every: int = 100):
         """Full training loop over the dataset (utils.py:746-770)."""

@@ -1,0 +1,111 @@
+"""End-to-end recolor pipeline integration on a tiny synthetic scene.
+
+Mirrors the reference's -m recolor flow (scripts/run_llff.sh:29-66): train a
+NeRF, select a region, grow it, train LAENeRF, distill with a modified
+palette, fine-tune the NeRF, and check the edit landed inside the region.
+"""
+
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
+from laenerf_tpu.editing import EditGrid, StyleLossWeights
+from laenerf_tpu.models import NeRFConfig, RenderConfig
+from laenerf_tpu.pipeline import EditPipeline, PipelineConfig, project_points
+from laenerf_tpu.train import Trainer
+
+MODEL_CFG = NeRFConfig(bound=1.0, num_levels=8, log2_hashmap_size=15)
+RENDER_CFG = RenderConfig(bound=1.0, cascades=1, grid_size=32, max_steps=256,
+                          march_iters=192, m_cap_per_ray=48,
+                          infer_chunk_events=16)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    tmp = tempfile.mkdtemp(prefix="laenerf_pipe_")
+    # single-sphere scene so region selection is trivial
+    spheres = [((0.0, 0.0, 0.0), 0.45, (0.8, 0.3, 0.2), 60.0)]
+    generate_synthetic_scene(tmp, n_train=8, n_val=1, n_test=1, H=48, W=48,
+                             spheres=spheres)
+    ds = NeRFDataset(tmp, "train", num_rays=512)
+    tr = Trainer(tmp + "/ws", MODEL_CFG, RENDER_CFG, lr=1e-2, iters=1000)
+    tr.mark_untrained(ds)
+    for step in range(250):
+        tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
+    return tmp, ds, tr
+
+
+def test_project_points(trained):
+    tmp, ds, tr = trained
+    pts = project_points(tr, ds.poses[0], ds.intrinsics,
+                         [[24, 24]], ds.H, ds.W)
+    assert pts.shape == (1, 3)
+    # the center pixel should terminate on the sphere (|x| < ~0.5)
+    assert np.linalg.norm(pts[0]) < 0.6
+
+
+def test_recolor_pipeline(trained):
+    tmp, ds, tr = trained
+    H, W = ds.H, ds.W
+
+    # region selection: project the center pixel, voxelize + grow
+    pts = project_points(tr, ds.poses[0], ds.intrinsics, [[24, 24]], H, W)
+    eg = EditGrid(cascades=RENDER_CFG.cascades,
+                  grid_size=RENDER_CFG.grid_size)
+    eg.new_from_points(pts, bound=1.0)
+    density = np.asarray(tr.occ_state.density_grid)
+    thresh = min(float(tr.occ_state.mean_density), 0.01)
+    eg.grow_region_queue(density, thresh, grow_iterations=100000)
+    assert eg.grid.sum() > 10
+
+    grow = EditGrid(RENDER_CFG.cascades, RENDER_CFG.grid_size)
+    grow.grid_from_growing_queue(eg, density, thresh)
+
+    before = ds.images[0].copy()
+
+    cfg = PipelineConfig(
+        mode="recolor",
+        train_steps_style=60,
+        train_steps_distill=40,
+        distill_palette_steps=20,
+        num_palette_bases=4,
+        depth_diff=0.5,
+        weights=StyleLossWeights(
+            offset_loss=1e-4, weight_loss_uniform=1e-5,
+            weight_loss_non_uniform=1e-5, palette_loss_valid=1e-4,
+            palette_loss_distinct=1e-4, warmup_iterations=10,
+        ),
+    )
+    pipe = EditPipeline(tr, ds, cfg, tmp + "/edit_ws", eg, grow)
+    pipe.init_phase()
+    assert len(pipe.edit_dataset) > 0
+    pipe.train_laenerf_phase(log_every=30, log_fn=lambda *a: None)
+
+    # user recolor: shift the palette toward green
+    pal = np.asarray(pipe.style_trainer.params["palette"])
+    cfg.palette_mod = np.clip(pal * np.array([0.1, 1.5, 0.1]), 0, 1)
+    stats = pipe.distill_phase(log_fn=lambda *a: None)
+    assert np.isfinite(stats["sparsity_loss"])
+
+    # distillation must have changed pixels inside the region of some view
+    changed = any(
+        not np.allclose(ds.images[v["view_index"]], before)
+        for v in pipe.edit_dataset.views[:1]
+    ) or not np.allclose(ds.images[0], before)
+    assert changed
+
+    pipe.finetune_phase(log_fn=lambda *a: None)
+    results = pipe.eval_phase(log_fn=lambda *a: None)
+    assert np.isfinite(results["psnr_train"])
+
+    # artifact contract (SURVEY.md §4: pipeline artifacts as oracles)
+    import os
+    ws = tmp + "/edit_ws"
+    for f in ("hparams.json", "opt.json", "edit_grid.npz", "grow_grid.npz",
+              "style_enc.npz", "palet_og.npz", "palet_mod.npz",
+              "palette_eval.json", "timings.json",
+              "results_psnr_train.json"):
+        assert os.path.exists(os.path.join(ws, f)), f
