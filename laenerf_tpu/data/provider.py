@@ -49,6 +49,29 @@ def _slerp(r0, r1, t):
     return Slerp([0, 1], rots)(t).as_matrix()
 
 
+def rand_poses(n, rng, radius=1.0, theta_range=(np.pi / 3, 2 * np.pi / 3),
+               phi_range=(0, 2 * np.pi)):
+    """Random orbit-camera poses (provider.py:57-91), used by CLIP-guided
+    training and pose augmentation. Returns [n, 4, 4] cam2world."""
+    thetas = rng.uniform(*theta_range, n)
+    phis = rng.uniform(*phi_range, n)
+    centers = np.stack([
+        radius * np.sin(thetas) * np.sin(phis),
+        radius * np.cos(thetas),
+        radius * np.sin(thetas) * np.cos(phis),
+    ], axis=-1)
+    fwd = -centers / (np.linalg.norm(centers, axis=-1, keepdims=True) + 1e-10)
+    up = np.tile(np.array([0.0, -1.0, 0.0]), (n, 1))
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True) + 1e-10
+    up = np.cross(right, fwd)
+    up /= np.linalg.norm(up, axis=-1, keepdims=True) + 1e-10
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, :3, :3] = np.stack([right, up, fwd], axis=-1)
+    poses[:, :3, 3] = centers
+    return poses
+
+
 class NeRFDataset:
     """Loads a NeRF dataset and serves ray batches.
 

@@ -161,6 +161,19 @@ class Trainer:
         self.log_path = os.path.join(workspace, "log.txt")
         self.global_step = 0
         self.stats = {"loss": [], "psnr": []}
+        # tensorboard scalars (the reference logs train/eval via tensorboardX,
+        # utils.py:747-748,1492-1494)
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(workspace, "run"))
+        except Exception:
+            self.writer = None
+
+    def log_scalar(self, tag, value, step=None):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value,
+                                   self.global_step if step is None else step)
 
     # ------------------------------------------------------------------
 
@@ -252,6 +265,7 @@ class Trainer:
                 if self.global_step % log_every == 0:
                     loss = float(aux["loss"])
                     self.stats["loss"].append(loss)
+                    self.log_scalar("train/loss", loss)
                     self.log(
                         f"step {self.global_step}/{max_steps} "
                         f"loss={loss:.6f} "
@@ -305,6 +319,8 @@ class Trainer:
             sm.update(img, gt)
         self.log(f"[eval] {pm.report()} | {sm.report()}")
         self.stats["psnr"].append(pm.measure())
+        self.log_scalar("eval/psnr", pm.measure())
+        self.log_scalar("eval/ssim", sm.measure())
         return pm.measure()
 
     # ------------------------------------------------------------------

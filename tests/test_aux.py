@@ -1,0 +1,85 @@
+"""Aux-loss, mesh, palette utils, and CLI parser tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from laenerf_tpu.train.losses import eff_distloss, huber_loss, mape_loss
+from laenerf_tpu.utils.mesh import marching_tetrahedra, write_ply
+from laenerf_tpu.utils.palette import palette_to_img, palette_change_to_img
+from laenerf_tpu.data.provider import rand_poses
+
+
+def test_mape_huber():
+    p = jnp.array([1.0, 2.0])
+    t = jnp.array([1.5, 1.0])
+    assert float(mape_loss(p, t)) > 0
+    # huber: quadratic inside delta, linear outside
+    h_small = float(huber_loss(jnp.array([0.05]), jnp.array([0.0])))
+    np.testing.assert_allclose(h_small, 0.5 / 0.1 * 0.05 ** 2, rtol=1e-5)
+    h_big = float(huber_loss(jnp.array([1.0]), jnp.array([0.0])))
+    np.testing.assert_allclose(h_big, 1.0 - 0.05, rtol=1e-5)
+
+
+def test_eff_distloss_matches_n2_form():
+    """The O(N) form must equal the O(N^2) double-sum definition."""
+    rng = np.random.RandomState(0)
+    w = jnp.array(rng.rand(2, 8).astype(np.float32) * 0.1)
+    m = jnp.array(np.sort(rng.rand(2, 8)).astype(np.float32))
+    interval = 0.05
+    fast = float(eff_distloss(w, m, interval))
+    # brute force: sum_ij w_i w_j |m_i - m_j| + 1/3 sum w^2 interval
+    wn, mn = np.asarray(w), np.asarray(m)
+    slow = 0.0
+    for b in range(2):
+        slow += np.sum(wn[b, :, None] * wn[b, None, :]
+                       * np.abs(mn[b, :, None] - mn[b, None, :]))
+        slow += np.sum(wn[b] ** 2) * interval / 3
+    np.testing.assert_allclose(fast, slow / 2, rtol=1e-4)
+
+
+def test_marching_tets_sphere(tmp_path):
+    n = 32
+    xs = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    field = 1.0 - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    verts, faces = marching_tetrahedra(field, 0.5)
+    assert len(verts) > 100 and len(faces) > 100
+    w = verts / (n - 1) * 2 - 1
+    r = np.linalg.norm(w, axis=1)
+    assert abs(r.mean() - 0.5) < 0.03
+    write_ply(str(tmp_path / "s.ply"), w.astype(np.float32), faces)
+    assert (tmp_path / "s.ply").stat().st_size > 1000
+
+
+def test_palette_images(tmp_path):
+    pal = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+    p1 = palette_to_img(pal, str(tmp_path))
+    p2 = palette_change_to_img(pal, pal[::-1], str(tmp_path))
+    import os
+    assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_rand_poses_orbit():
+    rng = np.random.RandomState(0)
+    poses = rand_poses(16, rng, radius=2.0)
+    assert poses.shape == (16, 4, 4)
+    r = np.linalg.norm(poses[:, :3, 3], axis=-1)
+    np.testing.assert_allclose(r, 2.0, rtol=1e-5)
+    # rotation columns orthonormal
+    R = poses[:, :3, :3]
+    eye = np.einsum("nij,nik->njk", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+
+
+def test_cli_parser():
+    from laenerf_tpu.pipeline.cli import build_parser
+
+    opt = build_parser().parse_args(
+        ["data/llff/flower", "--workspace", "ws", "-m", "recolor",
+         "--iters", "100", "--bound", "2", "--scale", "0.02",
+         "--offset", "0", "0", "1.5", "--num_palette_bases", "8",
+         "--style_layers", "10", "--style_layers", "12"]
+    )
+    assert opt.mode == "recolor"
+    assert opt.offset == [0.0, 0.0, 1.5]
+    assert opt.style_layers == [10, 12]
