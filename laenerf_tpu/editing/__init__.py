@@ -5,3 +5,6 @@ from .edit_dataset import EditDataset
 from .style import StyleNetwork, match_color, gram_matrices
 from .style_trainer import LAENeRFTrainer, StyleLossWeights, laenerf_train_step
 from .distill import distill_dataset
+from .semantic import SemanticEncoder, nnfm_loss
+from .npr_dataset import SingleViewEditDataset
+from .npr_trainer import NPRTrainer, npr_train_step, build_npr_nerf_dataset

@@ -336,3 +336,71 @@ class EditPipeline:
         self.finetune_phase(log_fn=log_fn)
         return self.eval_phase(val_dataset, test_dataset, video_dataset,
                                log_fn=log_fn)
+
+
+def run_npr_pipeline(trainer, dataset, ref_npr_config: str, workspace: str,
+                     weights: StyleLossWeights, train_steps_style: int = 3000,
+                     train_steps_distill: int = 3000,
+                     num_palette_bases: int = 4, reg_max_dist: float = 2e-2,
+                     tv_min_dist: float = 10e-2, min_tv_factor: float = 0.1,
+                     cos_loss_factor: float = 2.5, mse_loss: float = 6.0,
+                     color_patch_loss: float = 30.0, feature_size: int = 256,
+                     num_rays: int = 4096, log_fn=print, seed: int = 0):
+    """Single-view reference NPR stylization (--ref_npr_config path,
+    gui.py:181-185): register the stylized reference view, train LAENeRF on
+    NPR targets, bake supervision images, and fine-tune the NeRF with
+    train_step_npr."""
+    from ..editing.laenerf import LAENeRFConfig
+    from ..editing.npr_dataset import SingleViewEditDataset
+    from ..editing.npr_trainer import (NPRTrainer, build_npr_nerf_dataset)
+    from ..editing.semantic import SemanticEncoder
+
+    os.makedirs(workspace, exist_ok=True)
+    timer = PhaseTimer()
+    sem = SemanticEncoder()
+    timer.start("edit_dataset")
+    npr_ds = SingleViewEditDataset(
+        trainer, dataset, ref_npr_config, sem, min_dist=reg_max_dist,
+        max_dist=tv_min_dist, min_tv_factor=min_tv_factor,
+        feature_size=feature_size,
+        out_dir=os.path.join(workspace, "styleenc_train_dataset"), seed=seed,
+    )
+    timer.stop("edit_dataset")
+
+    # the NPR LAENeRF has no direction encoding (gui.py:253:
+    # dir_encoding=None when train_styleenc_npr)
+    lcfg = LAENeRFConfig(bound=trainer.model_cfg.bound,
+                         num_palette_bases=num_palette_bases, dir_degree=0)
+    npr_tr = NPRTrainer(lcfg, weights, npr_ds, sem, mse_loss_w=mse_loss,
+                        cos_loss_w=cos_loss_factor,
+                        color_patch_w=color_patch_loss, seed=seed)
+    timer.start("train_style_enc")
+    done = 0
+    while done < train_steps_style:
+        chunk = min(500, train_steps_style - done)
+        mse = npr_tr.train_steps(chunk)
+        done += chunk
+        log_fn(f"[npr] step {done}/{train_steps_style} mse={mse:.5f}")
+    timer.stop("train_style_enc")
+    save_pytree(os.path.join(workspace, "style_enc.npz"),
+                {"params": npr_tr.params, "active": npr_tr.active})
+
+    timer.start("distill_dataset")
+    npr_views = build_npr_nerf_dataset(
+        npr_ds, npr_tr.params, lcfg, npr_tr.active, dataset,
+        out_dir=os.path.join(workspace, "nerf_retrain_dataset"),
+    )
+    timer.stop("distill_dataset")
+
+    timer.start("distill_nerf")
+    rng = np.random.RandomState(seed)
+    for step in range(train_steps_distill):
+        view = npr_views[rng.randint(len(npr_views))]
+        aux = trainer.train_one_batch_npr(dataset, view, num_rays=num_rays)
+        if (step + 1) % 500 == 0:
+            log_fn(f"[npr finetune] {step + 1}/{train_steps_distill} "
+                   f"loss={float(aux['loss']):.5f}")
+    timer.stop("distill_nerf")
+    trainer.save_checkpoint()
+    timer.save(os.path.join(workspace, "timings.json"))
+    return npr_tr

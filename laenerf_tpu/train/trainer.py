@@ -114,6 +114,55 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
     return new_state, aux
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "optimizer",
+                                   "ema_decay", "H", "W", "style_weight_d",
+                                   "depth_weight_d"))
+def train_step_npr(state: TrainState, occupancy, pose, intrinsics, inds,
+                   target, style_img, target_weights, depth_target,
+                   depth_weights, key, *, model_cfg: NeRFConfig,
+                   render_cfg: RenderConfig, optimizer, ema_decay: float,
+                   H: int, W: int, style_weight_d: float = 0.5,
+                   depth_weight_d: float = 1e-3):
+    """NPR fine-tune step (utils.py:487-533): weighted MSE toward the
+    registration image + (1 - w/2)-weighted MSE toward the stylized image +
+    masked depth supervision. target/style_img are RGBA rows for the
+    sampled pixels."""
+    k_bg, k_render, _ = jax.random.split(key, 3)
+    rays_o, rays_d = get_rays(pose, intrinsics, inds, H, W)
+    bg = jax.random.uniform(k_bg, (inds.shape[0], 3))
+    gt_rgb = target[:, :3] * target[:, 3:] + bg * (1.0 - target[:, 3:])
+    gt_style = style_img[:, :3] * style_img[:, 3:] + bg * (1.0 - style_img[:, 3:])
+    w = target_weights[:, None]
+
+    def loss_fn(params):
+        out = render_rays_train(params, occupancy, rays_o, rays_d, k_render,
+                                model_cfg=model_cfg, render_cfg=render_cfg,
+                                bg_color=bg, perturb=True)
+        pred = out["image"]
+        loss = jnp.mean((w * (pred - gt_rgb)) ** 2)
+        loss = loss + style_weight_d * jnp.mean(
+            ((1.0 - w / 2.0) * (gt_style - pred)) ** 2
+        )
+        dloss = jnp.mean(
+            (depth_weights * (out["depth"] - (depth_target - out["nears"])))
+            ** 2
+        )
+        loss = loss + depth_weight_d * dloss
+        return loss, out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = jax.tree.map(
+        lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+        state.ema_params, new_params,
+    )
+    return TrainState(params=new_params, opt_state=new_opt_state,
+                      ema_params=new_ema, step=state.step + 1), {"loss": loss}
+
+
 @partial(jax.jit, static_argnames=("model_cfg", "bound", "full",
                                    "density_scale", "density_thresh"))
 def occ_update(params, occ_state: OccupancyState, key, *,
@@ -240,6 +289,29 @@ class Trainer:
             ema_decay=self.ema_decay, has_alpha=has_alpha,
             bg_white=self.bg_white, H=batch["H"], W=batch["W"],
             distill=True, depth_target=depth_target,
+        )
+        self.global_step += 1
+        return aux
+
+    def train_one_batch_npr(self, dataset, npr_view, num_rays: int = 4096):
+        """One NPR fine-tune step on a baked supervision view
+        (utils.py:487-533 + single_view_edit_dataset.py:415-445)."""
+        self.maybe_update_occupancy()
+        H, W = dataset.H, dataset.W
+        idx = npr_view["view_index"]
+        inds = np.random.randint(0, H * W, num_rays).astype(np.int32)
+        self.state, aux = train_step_npr(
+            self.state, self.occ_state.occupancy,
+            jnp.asarray(dataset.poses[idx]), jnp.asarray(dataset.intrinsics),
+            jnp.asarray(inds),
+            jnp.asarray(npr_view["target"].reshape(-1, 4)[inds]),
+            jnp.asarray(npr_view["style_img"].reshape(-1, 4)[inds]),
+            jnp.asarray(npr_view["target_weights"].reshape(-1)[inds]),
+            jnp.asarray(npr_view["depth"].reshape(-1)[inds]),
+            jnp.asarray(npr_view["depth_weights"].reshape(-1)[inds]),
+            self._next_key(), model_cfg=self.model_cfg,
+            render_cfg=self.render_cfg, optimizer=self.optimizer,
+            ema_decay=self.ema_decay, H=H, W=W,
         )
         self.global_step += 1
         return aux
