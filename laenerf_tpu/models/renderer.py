@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.compaction import compact_samples, gather_flat, scatter_back
+from ..ops.compaction import compact_samples, gather_flat, scatter_back  # noqa: F401
 from ..ops.composite import composite_chunk, composite_rays_train
 from ..ops.raymarch import (MarchConfig, _march_event, march_rays_train,
                             near_far_from_aabb, sample_positions,
@@ -46,6 +46,10 @@ class RenderConfig:
     m_cap_per_ray: int = 32  # M_cap = N * this (mean_count analogue)
     # inference path shapes
     infer_chunk_events: int = 16  # K march events per while_loop round
+    # per-round network-eval compaction: capacity = N*K // this. Dead rays
+    # and skip events never reach the MLP/hash encoder (the XLA analogue of
+    # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
+    infer_compact_factor: int = 2
 
     @property
     def march_cfg(self) -> MarchConfig:
@@ -133,6 +137,50 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     }
 
 
+def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
+                    valid, t_new, N, K):
+    """Evaluate the network only on valid round samples.
+
+    Compacts [N, K] valid samples into a fixed [N*K // factor] buffer,
+    evaluates, and scatters back (sigma 0 elsewhere). If a round has more
+    valid samples than the capacity, the overflowing rays *rewind*: their
+    dropped samples are masked out of this round's composite and t resumes
+    at the first dropped sample, so they are re-marched next round —
+    capacity is a throughput knob, never a correctness one.
+
+    Returns (sig [N,K], rgb [N,K,3], valid_eval [N,K], t_next [N]).
+    """
+    factor = render_cfg.infer_compact_factor
+    if factor <= 1:
+        xyz = sample_positions(rays_o, rays_d, ts, render_cfg.bound)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3))
+        sig, rgb = nerf_forward(params, model_cfg, xyz.reshape(-1, 3),
+                                dirs.reshape(-1, 3))
+        return ((sig * render_cfg.density_scale).reshape(N, K),
+                rgb.reshape(N, K, 3), valid, t_new)
+
+    m_cap = (N * K) // factor
+    gather_idx, gather_mask, dest = compact_samples(valid, m_cap)
+    ray_ids = gather_idx // K
+    ts_c = gather_flat(ts.reshape(-1), gather_idx)
+    ro_c = jnp.take(rays_o, ray_ids, axis=0)
+    rd_c = jnp.take(rays_d, ray_ids, axis=0)
+    xyz_c = jnp.clip(ro_c + ts_c[:, None] * rd_c, -render_cfg.bound,
+                     render_cfg.bound)
+    sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c, rd_c)
+    sig_c = jnp.where(gather_mask, sig_c * render_cfg.density_scale, 0.0)
+    sig = scatter_back(sig_c[:, None], dest, (N, K))[..., 0]
+    rgb = scatter_back(rgb_c, dest, (N, K))
+
+    # overflow rewind (within-ray order is preserved by the flat-order
+    # compaction, so drops are a per-ray suffix)
+    dropped = valid & (dest >= m_cap)
+    valid_eval = valid & (dest < m_cap)
+    first_drop_ts = jnp.min(jnp.where(dropped, ts, jnp.inf), axis=1)
+    t_next = jnp.where(jnp.any(dropped, axis=1), first_drop_ts, t_new)
+    return sig, rgb, valid_eval, t_next
+
+
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "perturb"))
 def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
                       model_cfg: NeRFConfig, render_cfg: RenderConfig,
@@ -177,7 +225,9 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         "round": jnp.zeros((), jnp.int32),
     }
 
-    max_rounds = cfg.max_steps // K
+    # rewinds consume rounds; scaling by the compaction factor keeps
+    # the total evaluated-sample budget at N * max_steps
+    max_rounds = (cfg.max_steps // K) * max(render_cfg.infer_compact_factor, 1)
 
     def cond(c):
         alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
@@ -185,11 +235,11 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
 
     def body(c):
         t_new, ts, dt, valid = march_round(c["t"])
-        xyz = sample_positions(rays_o, rays_d, ts, cfg.bound).reshape(-1, 3)
-        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(-1, 3)
-        sig, rgb = nerf_forward(params, model_cfg, xyz, dirs)
-        sig = (sig * render_cfg.density_scale).reshape(N, K)
-        rgb = rgb.reshape(N, K, 3)
+        # never evaluate the network on dead rays or skip events
+        valid = valid & (c["acc"]["T"] >= render_cfg.t_thresh)[:, None]
+        sig, rgb, valid, t_new = _eval_compacted(
+            params, model_cfg, render_cfg, rays_o, rays_d, ts, valid, t_new,
+            N, K)
         acc = composite_chunk(c["acc"], sig, rgb, dt, ts, valid, t0,
                               render_cfg.t_thresh)
         return {"t": t_new, "acc": acc, "round": c["round"] + 1}
@@ -258,7 +308,9 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
         "depth_edit": zeros,
         "round": jnp.zeros((), jnp.int32),
     }
-    max_rounds = cfg.max_steps // K
+    # rewinds consume rounds; scaling by the compaction factor keeps
+    # the total evaluated-sample budget at N * max_steps
+    max_rounds = (cfg.max_steps // K) * max(render_cfg.infer_compact_factor, 1)
 
     def cond(c):
         alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
@@ -266,11 +318,10 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
 
     def body(c):
         t_new, ts, dt, valid, eocc = march_round(c["t"])
-        xyz = sample_positions(rays_o, rays_d, ts, cfg.bound).reshape(-1, 3)
-        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(-1, 3)
-        sig, rgb = nerf_forward(params, model_cfg, xyz, dirs)
-        sig = (sig * render_cfg.density_scale).reshape(N, K)
-        rgb = rgb.reshape(N, K, 3)
+        valid = valid & (c["acc"]["T"] >= render_cfg.t_thresh)[:, None]
+        sig, rgb, valid, t_new = _eval_compacted(
+            params, model_cfg, render_cfg, rays_o, rays_d, ts, valid, t_new,
+            N, K)
 
         # shared weight computation (absolute-t depth: pass t0 = 0)
         sd = jnp.where(valid, sig * dt, 0.0)

@@ -83,3 +83,18 @@ def test_cli_parser():
     assert opt.mode == "recolor"
     assert opt.offset == [0.0, 0.0, 1.5]
     assert opt.style_layers == [10, 12]
+
+
+def test_orbit_camera():
+    from laenerf_tpu.pipeline.viewer import OrbitCamera
+
+    cam = OrbitCamera(64, 64, radius=2.0)
+    p0 = cam.pose.copy()
+    np.testing.assert_allclose(np.linalg.norm(p0[:3, 3]), 2.0, rtol=1e-5)
+    cam.orbit(50, 0)
+    assert not np.allclose(cam.pose, p0)
+    # rotation stays orthonormal
+    R = cam.pose[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    cam.scale(1)
+    assert cam.radius < 2.0
