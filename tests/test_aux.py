@@ -98,3 +98,35 @@ def test_orbit_camera():
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
     cam.scale(1)
     assert cam.radius < 2.0
+
+
+def test_stratified_render_and_pdf():
+    import jax
+
+    from laenerf_tpu.models import (NeRFConfig, RenderConfig, nerf_init,
+                                    render_rays_stratified, sample_pdf)
+
+    key = jax.random.PRNGKey(0)
+    bins = jnp.linspace(0, 1, 17)[None, :].repeat(2, 0)
+    w = jnp.zeros((2, 15)).at[:, 7].set(100.0)
+    s = sample_pdf(key, bins, w, 32, det=True)
+    assert 0.35 < float(s.mean()) < 0.65  # concentrates at the weighted bin
+
+    cfg = NeRFConfig(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    rc = RenderConfig(bound=1.0)
+    params = nerf_init(key, cfg)
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]]), (4, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+    out = render_rays_stratified(params, rays_o, rays_d, key, model_cfg=cfg,
+                                 render_cfg=rc, num_steps=32,
+                                 upsample_steps=32, bg_color=1.0)
+    assert out["image"].shape == (4, 3)
+    assert bool(jnp.isfinite(out["image"]).all())
+
+
+def test_color_space_roundtrip():
+    from laenerf_tpu.utils import linear_to_srgb, srgb_to_linear
+
+    x = jnp.linspace(0, 1, 64)
+    np.testing.assert_allclose(np.asarray(linear_to_srgb(srgb_to_linear(x))),
+                               np.asarray(x), atol=1e-5)
