@@ -138,3 +138,36 @@ class StyleNetwork:
                                        self.gram_color is not None)
                    else self.gram_style)
         return self._loss(img, targets)
+
+    def guided_loss(self, img, guide, style_feats=None):
+        """Guided Gram MSE (style_network.py:160-179): features of both the
+        style and the rendered image are modulated by a spatial guide before
+        the Gram computation.
+
+        Args:
+          img: [3, H, W] rendered image; guide: [H, W] in [0, 1].
+          style_feats: optional precomputed style features (defaults to the
+            stored style image's features at the crop size).
+        """
+        img = _resize_chw(img, self.size)
+        g = jax.image.resize(jnp.asarray(guide)[None], (1, self.size,
+                                                        self.size),
+                             "bilinear")
+        feats_img = vgg_features(self.params, self.kinds,
+                                 normalize_imagenet(img)[None],
+                                 self.style_layers)
+        if style_feats is None:
+            s = _resize_chw(jnp.asarray(self.image), self.size)
+            style_feats = vgg_features(self.params, self.kinds,
+                                       normalize_imagenet(s)[None],
+                                       self.style_layers)
+        loss = 0.0
+        for fi, fs in zip(feats_img, style_feats):
+            _, c, h, w = fi.shape
+            gg = jax.image.resize(g, (1, h, w), "bilinear")[0]
+            a = (fi[0] * gg).reshape(c, -1)
+            b = (jax.lax.stop_gradient(fs[0]) * gg).reshape(c, -1)
+            Ga = a @ a.T / (c * h * w)
+            Gb = b @ b.T / (c * h * w)
+            loss = loss + jnp.mean((Ga - Gb) ** 2)
+        return loss / len(feats_img)

@@ -51,12 +51,12 @@ def make_optimizer(lr: float, iters: int):
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "optimizer",
                                    "ema_decay", "has_alpha", "bg_white",
-                                   "H", "W", "distill"))
+                                   "H", "W", "distill", "patch_lpips_fn"))
 def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
                key, *, model_cfg: NeRFConfig, render_cfg: RenderConfig,
                optimizer, ema_decay: float, has_alpha: bool, bg_white: bool,
                H: int, W: int, distill: bool = False, depth_target=None,
-               depth_weight: float = 1e-3):
+               depth_weight: float = 1e-3, patch_lpips_fn=None):
     """One optimization step (utils.py:535-642).
 
     Args:
@@ -92,6 +92,12 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
                 ((out["depth"] - (depth_target - out["nears"])) * dw) ** 2
             )
             loss = loss + depth_weight * dloss
+        if patch_lpips_fn is not None:
+            # patch-mode perceptual loss, 1e-3 weighted (utils.py:595-603)
+            ps = int(np.sqrt(inds.shape[0]))
+            pred_img = out["image"].reshape(ps, ps, 3)
+            gt_img = gt.reshape(ps, ps, 3)
+            loss = loss + 1e-3 * patch_lpips_fn(pred_img, gt_img)
         return loss, (per_ray, out)
 
     (loss, (per_ray, out)), grads = jax.value_and_grad(
