@@ -159,26 +159,48 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
         return ((sig * render_cfg.density_scale).reshape(N, K),
                 rgb.reshape(N, K, 3), valid, t_new)
 
-    m_cap = (N * K) // factor
-    gather_idx, gather_mask, dest = compact_samples(valid, m_cap)
-    ray_ids = gather_idx // K
-    ts_c = gather_flat(ts.reshape(-1), gather_idx)
-    ro_c = jnp.take(rays_o, ray_ids, axis=0)
-    rd_c = jnp.take(rays_d, ray_ids, axis=0)
-    xyz_c = jnp.clip(ro_c + ts_c[:, None] * rd_c, -render_cfg.bound,
-                     render_cfg.bound)
-    sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c, rd_c)
-    sig_c = jnp.where(gather_mask, sig_c * render_cfg.density_scale, 0.0)
-    sig = scatter_back(sig_c[:, None], dest, (N, K))[..., 0]
-    rgb = scatter_back(rgb_c, dest, (N, K))
+    # Static shapes mean a compacted eval costs its *capacity*, not the
+    # actual sample count — so pick among capacity tiers at runtime with
+    # lax.switch (only the chosen branch executes). Mostly-empty rounds
+    # (background tiles, late rounds with few alive rays) run the smallest
+    # tier; the occasional overflow just rewinds.
+    base = (N * K) // factor
+    caps = [base]
+    c = base // 4
+    while c >= 1024 and len(caps) < 3:
+        caps.append(c)
+        c //= 4
+    caps = sorted(set(caps))  # ascending
 
-    # overflow rewind (within-ray order is preserved by the flat-order
-    # compaction, so drops are a per-ray suffix)
-    dropped = valid & (dest >= m_cap)
-    valid_eval = valid & (dest < m_cap)
-    first_drop_ts = jnp.min(jnp.where(dropped, ts, jnp.inf), axis=1)
-    t_next = jnp.where(jnp.any(dropped, axis=1), first_drop_ts, t_new)
-    return sig, rgb, valid_eval, t_next
+    n_valid = jnp.sum(valid)
+    bucket = jnp.searchsorted(jnp.array(caps), n_valid, side="left")
+    bucket = jnp.minimum(bucket, len(caps) - 1)
+
+    def eval_at_cap(m_cap):
+        def fn(_):
+            gather_idx, gather_mask, dest = compact_samples(valid, m_cap)
+            ray_ids = gather_idx // K
+            ts_c = gather_flat(ts.reshape(-1), gather_idx)
+            ro_c = jnp.take(rays_o, ray_ids, axis=0)
+            rd_c = jnp.take(rays_d, ray_ids, axis=0)
+            xyz_c = jnp.clip(ro_c + ts_c[:, None] * rd_c, -render_cfg.bound,
+                             render_cfg.bound)
+            sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c, rd_c)
+            sig_c = jnp.where(gather_mask,
+                              sig_c * render_cfg.density_scale, 0.0)
+            sig = scatter_back(sig_c[:, None], dest, (N, K))[..., 0]
+            rgb = scatter_back(rgb_c, dest, (N, K))
+            # overflow rewind (within-ray order is preserved by the
+            # flat-order compaction, so drops are a per-ray suffix)
+            dropped = valid & (dest >= m_cap)
+            valid_eval = valid & (dest < m_cap)
+            first_drop_ts = jnp.min(jnp.where(dropped, ts, jnp.inf), axis=1)
+            t_next = jnp.where(jnp.any(dropped, axis=1), first_drop_ts,
+                               t_new)
+            return sig, rgb, valid_eval, t_next
+        return fn
+
+    return jax.lax.switch(bucket, [eval_at_cap(c) for c in caps], None)
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "perturb"))
