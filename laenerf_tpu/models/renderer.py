@@ -108,19 +108,37 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     S = cfg.march_iters
 
     # Compact for the network eval (the expensive part), [N*S] -> [M_cap].
-    m_cap = N * render_cfg.m_cap_per_ray
-    gather_idx, gather_mask, dest = compact_samples(valid, m_cap)
+    # Two capacity tiers picked at runtime (lax.switch): once the occupancy
+    # grid converges, the valid-sample count drops well below the full cap
+    # and the cheap tier takes over (the runtime analogue of the reference's
+    # EMA'd mean_count buffer, raymarching.py:198-203).
     xyz = sample_positions(rays_o, rays_d, ts, cfg.bound)  # [N, S, 3]
-    xyz_c = gather_flat(xyz.reshape(N * S, 3), gather_idx)
+    xyz_flat = xyz.reshape(N * S, 3)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3)).reshape(N * S, 3)
-    dirs_c = gather_flat(dirs, gather_idx)
 
-    sigmas_c, rgbs_c = nerf_forward(params, model_cfg, xyz_c, dirs_c)
-    sigmas_c = sigmas_c * render_cfg.density_scale
-    sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
+    base_cap = N * render_cfg.m_cap_per_ray
+    caps = sorted({max(base_cap // 4, 1024), base_cap})
+    n_valid = jnp.sum(valid)
+    bucket = jnp.minimum(
+        jnp.searchsorted(jnp.array(caps), n_valid, side="left"),
+        len(caps) - 1,
+    )
 
-    sigmas = scatter_back(sigmas_c[:, None], dest, (N, S))[..., 0]
-    rgbs = scatter_back(rgbs_c, dest, (N, S))
+    def eval_at_cap(m_cap):
+        def fn(_):
+            gather_idx, gather_mask, dest = compact_samples(valid, m_cap)
+            xyz_c = gather_flat(xyz_flat, gather_idx)
+            dirs_c = gather_flat(dirs, gather_idx)
+            sigmas_c, rgbs_c = nerf_forward(params, model_cfg, xyz_c, dirs_c)
+            sigmas_c = sigmas_c * render_cfg.density_scale
+            sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
+            sig = scatter_back(sigmas_c[:, None], dest, (N, S))[..., 0]
+            rgb = scatter_back(rgbs_c, dest, (N, S))
+            return sig, rgb
+        return fn
+
+    sigmas, rgbs = jax.lax.switch(bucket, [eval_at_cap(c) for c in caps],
+                                  None)
 
     weights_sum, depth, image = composite_rays_train(
         sigmas, rgbs, dts, ts, valid, march["t0"], render_cfg.t_thresh
