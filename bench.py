@@ -40,7 +40,8 @@ def main():
     generate_synthetic_scene(tmp, n_train=16, n_val=1, n_test=1, H=100, W=100)
     ds = NeRFDataset(tmp, "train", num_rays=4096)
 
-    model_cfg = NeRFConfig(bound=1.0, num_levels=16, log2_hashmap_size=19)
+    model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
+                          log2_hashmap_size=19)
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=1024, march_iters=256,
                               m_cap_per_ray=32,
