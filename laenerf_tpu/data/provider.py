@@ -172,6 +172,19 @@ class NeRFDataset:
             if split == "video":
                 self.images = None
 
+        # the video split skips image loading; read one frame (if any
+        # exists) to recover H/W for intrinsics derived from camera_angle
+        if self.H is None:
+            for f in frames:
+                f_path = os.path.join(path, f["file_path"])
+                if self.mode == "blender" and "." not in os.path.basename(f_path):
+                    f_path += ".png"
+                if os.path.exists(f_path):
+                    img = np.asarray(imageio.imread(f_path))
+                    self.H = img.shape[0] // downscale
+                    self.W = img.shape[1] // downscale
+                    break
+
         self.poses = np.stack(self.poses, axis=0)
         if self.images is not None and len(self.images) > 0:
             self.images = np.stack(self.images, axis=0)  # [B, H, W, C]

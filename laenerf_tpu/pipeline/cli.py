@@ -133,6 +133,13 @@ def main(argv=None):
     if opt.style_layers is None:
         opt.style_layers = [10, 12, 14]
 
+    # this environment's TPU plugin overrides JAX_PLATFORMS; honor an
+    # explicit request (e.g. LAENERF_PLATFORM=cpu for smoke runs)
+    if os.environ.get("LAENERF_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["LAENERF_PLATFORM"])
+
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -174,7 +181,9 @@ def main(argv=None):
             arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             imageio.imwrite(os.path.join(out_dir, f"{i:04d}.png"), arr)
             frames.append(arr)
-        imageio.mimwrite(os.path.join(out_dir, "video.mp4"), frames, fps=24)
+        from ..utils.video import write_video
+
+        write_video(os.path.join(out_dir, "video.mp4"), frames)
         if test_ds.has_gt:
             trainer.evaluate(test_ds)
         if opt.save_mesh:

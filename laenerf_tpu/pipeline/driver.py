@@ -33,6 +33,7 @@ from ..models.renderer import render_rays_distill
 from ..data.rays import get_rays
 from ..train.checkpoints import load_pytree, save_pytree
 from ..utils.timers import PhaseTimer
+from ..utils.video import write_video
 
 
 @dataclasses.dataclass
@@ -319,8 +320,7 @@ class EditPipeline:
                                          video_dataset.intrinsics,
                                          video_dataset.H, video_dataset.W)
                 frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
-            imageio.mimwrite(os.path.join(self.workspace, "video.mp4"),
-                             frames, fps=24)
+            write_video(os.path.join(self.workspace, "video.mp4"), frames)
         self.timer.save(os.path.join(self.workspace, "timings.json"))
         log_fn(f"[eval] {results} timings={self.timer.summary()}")
         return results
