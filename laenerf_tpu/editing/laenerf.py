@@ -38,6 +38,7 @@ class LAENeRFConfig:
     level_dim: int = 2
     base_resolution: int = 16
     log2_hashmap_size: int = 19
+    paired_gather: bool = False  # TPU row-gather optimization (ops/hashgrid)
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -47,6 +48,7 @@ class LAENeRFConfig:
             level_dim=self.level_dim,
             base_resolution=self.base_resolution,
             log2_hashmap_size=self.log2_hashmap_size,
+            paired_gather=self.paired_gather,
         )
 
     @property

@@ -43,6 +43,13 @@ class HashGridSpec:
     gridtype: str = "hash"  # "hash" | "tiled"
     align_corners: bool = False
     interpolation: str = "linear"  # "linear" | "smoothstep"
+    # TPU optimization: fetch the two x-adjacent corners of each cell as ONE
+    # row from an overlapped [T, 2C] view of the table (XLA row gathers are
+    # latency-bound per row — measured ~2x). Requires an additive-x hash so
+    # corner (x+1, y, z) lands at row (x, y, z) + 1; dense levels already
+    # have x-stride 1. Quality-neutral in practice (instant-ngp notes the
+    # exact hash barely matters, gridencoder.cu:77-78).
+    paired_gather: bool = False
 
     @staticmethod
     def create(desired_resolution=None, **kwargs) -> "HashGridSpec":
@@ -140,6 +147,33 @@ def _fast_hash(coords):
     return result
 
 
+def _pair_base_indices(spec: HashGridSpec, level: int, coords):
+    """Row index of corner (x, y, z) under the additive-x layout, such that
+    corner (x+1, y, z) is at the next row (mod table size).
+
+    Dense levels already have x-stride 1; hashed levels use
+    (x + fast_hash(0, y, z)) instead of xoring x in.
+    """
+    D = spec.input_dim
+    res = spec.level_resolutions[level]
+    size = spec.level_sizes[level]
+    stride_base = res if spec.align_corners else res + 1
+
+    c = coords.astype(jnp.uint32)
+    if stride_base ** D <= size or spec.gridtype != "hash":
+        index = jnp.zeros(c.shape[:-1], dtype=jnp.uint32)
+        stride = 1
+        for d in range(D):
+            if stride <= size:
+                index = index + c[..., d] * jnp.uint32(stride)
+            stride *= stride_base
+    else:
+        rest = c.at[..., 0].set(0)
+        index = c[..., 0] + _fast_hash(rest)
+    index = index % jnp.uint32(size)
+    return index.astype(jnp.int32) + spec.level_offsets[level]
+
+
 def _corner_indices(spec: HashGridSpec, level: int, corner_coords):
     """Map integer corner coords [..., D] to table row indices for a level.
 
@@ -194,6 +228,9 @@ def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
     u = (x.astype(jnp.float32) + bound) / (2.0 * bound)  # [B, D] in [0, 1]
     oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)  # [B]
 
+    if spec.paired_gather and D == 3:
+        return _encode_paired(table, u, oob, spec, prefix, compute_dtype)
+
     all_idx = []
     all_w = []
     for level in range(L):
@@ -224,6 +261,49 @@ def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
         w = w.astype(compute_dtype)
     out = jnp.einsum("bk,bkc->bkc", w, vals)
     out = out.reshape(B, L, n_corners, C).sum(axis=2)  # [B, L, C]
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(prefix + (L * C,))
+
+
+def _encode_paired(table, u, oob, spec: HashGridSpec, prefix, compute_dtype):
+    """Paired-corner path: gather 4 rows of 2C per (sample, level) from an
+    overlapped view where row i = [table[i], table[i+1]]."""
+    B = u.shape[0]
+    L, C = spec.num_levels, spec.level_dim
+    # overlapped view (one roll + concat per call; autodiff folds the
+    # gradient back onto the base table)
+    table2 = jnp.concatenate([table, jnp.roll(table, -1, axis=0)], axis=1)
+
+    all_idx, all_w0, all_w1 = [], [], []
+    for level in range(L):
+        scale = spec.level_scales[level]
+        pos = u * scale + (0.0 if spec.align_corners else 0.5)
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        pos_grid = pos_grid.astype(jnp.int32)
+
+        for corner in range(4):  # bits over (y, z); x handled by the pair
+            by, bz = corner & 1, (corner >> 1) & 1
+            cc = pos_grid + jnp.array([0, by, bz], dtype=jnp.int32)
+            wyz = ((frac[:, 1] if by else 1.0 - frac[:, 1])
+                   * (frac[:, 2] if bz else 1.0 - frac[:, 2]))
+            all_idx.append(_pair_base_indices(spec, level, cc))
+            all_w0.append(wyz * (1.0 - frac[:, 0]))
+            all_w1.append(wyz * frac[:, 0])
+
+    idx = jnp.stack(all_idx, axis=1)  # [B, L*4]
+    w0 = jnp.stack(all_w0, axis=1)
+    w1 = jnp.stack(all_w1, axis=1)
+
+    vals = _gather_rows(table2, idx)  # [B, L*4, 2C]
+    if compute_dtype is not None:
+        vals = vals.astype(compute_dtype)
+        w0 = w0.astype(compute_dtype)
+        w1 = w1.astype(compute_dtype)
+    out = (w0[..., None] * vals[..., :C] + w1[..., None] * vals[..., C:])
+    out = out.reshape(B, L, 4, C).sum(axis=2)
     out = jnp.where(oob[:, None, None], 0.0, out)
     return out.reshape(prefix + (L * C,))
 

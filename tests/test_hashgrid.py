@@ -146,3 +146,39 @@ def test_smoothstep_interpolation():
     np.testing.assert_allclose(
         np.asarray(hashgrid_encode(table, x, spec)), 1.0, rtol=1e-5
     )
+
+
+def test_paired_gather_matches_dense_level():
+    """On a dense level the paired path must equal exact trilinear interp
+    (the unpaired path)."""
+    import dataclasses
+
+    spec = HashGridSpec(num_levels=1, level_dim=2, base_resolution=4,
+                        per_level_scale=1.0, log2_hashmap_size=19)
+    spec_p = dataclasses.replace(spec, paired_gather=True)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (spec.table_rows, 2))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1,
+                           maxval=1)
+    a = hashgrid_encode(table, x, spec)
+    b = hashgrid_encode(table, x, spec_p)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_paired_gather_trains_equivalently():
+    """On hashed levels the layouts differ (additive-x hash), but gradient
+    flow and continuity must hold: nearby inputs give nearby outputs."""
+    import dataclasses
+
+    spec = HashGridSpec.create(desired_resolution=128, num_levels=4,
+                               base_resolution=4, log2_hashmap_size=8,
+                               paired_gather=True)
+    table = jax.random.normal(jax.random.PRNGKey(0), (spec.table_rows, 2))
+    x = jnp.array([[0.1, 0.2, 0.3]])
+    eps = 1e-4
+    a = hashgrid_encode(table, x, spec)
+    b = hashgrid_encode(table, x + eps, spec)
+    assert float(jnp.abs(a - b).max()) < 0.1  # continuous
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x, spec) ** 2))(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0
