@@ -44,14 +44,14 @@ def main():
                           log2_hashmap_size=19)
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=1024, march_iters=256,
-                              m_cap_per_ray=32,
+                              m_cap_per_ray=32, density_thresh=10.0,
                               infer_chunk_events=16)
     tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
                  eval_chunk=16384)
     tr.mark_untrained(ds)
 
     # warm up & train so the occupancy grid is realistic
-    warm_steps = 120
+    warm_steps = 256
     for step in range(warm_steps):
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
     jax.block_until_ready(tr.state.params)

@@ -40,6 +40,7 @@ class RenderConfig:
     max_steps: int = 1024
     min_near: float = 0.2
     density_scale: float = 1.0
+    density_thresh: float = 0.01  # occupancy threshold (min'd with mean)
     t_thresh: float = 1e-4
     # train path shapes: march_iters is the padded event/sample width S
     march_iters: int = 256

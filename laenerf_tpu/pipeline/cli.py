@@ -121,7 +121,8 @@ def make_configs(opt):
     render_cfg = RenderConfig(
         bound=opt.bound, cascades=cascades, grid_size=128,
         dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
-        min_near=opt.min_near, march_iters=opt.march_iters,
+        min_near=opt.min_near, density_thresh=opt.density_thresh,
+        march_iters=opt.march_iters,
         m_cap_per_ray=opt.m_cap_per_ray,
         infer_chunk_events=opt.infer_chunk_events,
     )

@@ -262,6 +262,7 @@ class Trainer:
             self.state.params, self.occ_state, self._next_key(),
             model_cfg=self.model_cfg, bound=self.render_cfg.bound, full=full,
             density_scale=self.render_cfg.density_scale,
+            density_thresh=self.render_cfg.density_thresh,
         )
 
     def train_one_batch(self, batch, has_alpha: bool):
