@@ -108,8 +108,8 @@ def update_occupancy_full(state: OccupancyState, density_fn, key, *,
 
 def update_occupancy_partial(state: OccupancyState, density_fn, key, *,
                              bound: float, density_scale: float = 1.0,
-                             density_thresh: float = 0.01, decay: float = 0.95
-                             ) -> OccupancyState:
+                             density_thresh: float = 0.01, decay: float = 0.95,
+                             chunk: int = 2 ** 16) -> OccupancyState:
     """Partial update: H^3/4 uniform cells + H^3/4 occupied-biased cells per
     cascade (renderer.py:598-626)."""
     cas_n, H = state.density_grid.shape[0], state.density_grid.shape[1]
@@ -135,7 +135,12 @@ def update_occupancy_partial(state: OccupancyState, density_fn, key, *,
 
         coords = jnp.concatenate([rand_coords, occ_coords], axis=0)
         xyz = _cell_world_coords(coords, cas, bound, H, k3)
-        sig = density_fn(xyz) * density_scale
+        n2 = xyz.shape[0]
+        if n2 % chunk == 0:
+            sig = jax.lax.map(lambda c: density_fn(c) * density_scale,
+                              xyz.reshape(n2 // chunk, chunk, 3)).reshape(-1)
+        else:
+            sig = density_fn(xyz) * density_scale
         flat_idx = (coords[:, 0] * H + coords[:, 1]) * H + coords[:, 2]
         tmp_cas = tmp_grid[cas].reshape(-1).at[flat_idx].set(sig)
         tmp_grid = tmp_grid.at[cas].set(tmp_cas.reshape(H, H, H))
