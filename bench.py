@@ -40,10 +40,13 @@ def main():
     generate_synthetic_scene(tmp, n_train=16, n_val=1, n_test=1, H=100, W=100)
     ds = NeRFDataset(tmp, "train", num_rays=4096)
 
+    # max_steps=256 keeps dt coarse enough that the march budget covers the
+    # whole [near, far] range, which is what lets the occupancy grid prune
+    # (see docs/DESIGN.md); paired_gather halves XLA gather rows.
     model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
-                          log2_hashmap_size=19)
+                           log2_hashmap_size=19, paired_gather=True)
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
-                              max_steps=1024, march_iters=256,
+                              max_steps=256, march_iters=256,
                               m_cap_per_ray=32, density_thresh=10.0,
                               infer_chunk_events=16)
     tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
@@ -51,7 +54,7 @@ def main():
     tr.mark_untrained(ds)
 
     # warm up & train so the occupancy grid is realistic
-    warm_steps = 256
+    warm_steps = 384
     for step in range(warm_steps):
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
     jax.block_until_ready(tr.state.params)

@@ -118,7 +118,10 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3)).reshape(N * S, 3)
 
     base_cap = N * render_cfg.m_cap_per_ray
-    caps = sorted({max(base_cap // 4, 1024), base_cap})
+    # the top tier covers the dense early-training phase (grid not yet
+    # pruned): generous enough that drops are rare before pruning kicks in
+    top_cap = max(base_cap, (N * S) // 2)
+    caps = sorted({max(base_cap // 4, 1024), base_cap, top_cap})
     n_valid = jnp.sum(valid)
     bucket = jnp.minimum(
         jnp.searchsorted(jnp.array(caps), n_valid, side="left"),
@@ -135,11 +138,16 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
             sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
             sig = scatter_back(sigmas_c[:, None], dest, (N, S))[..., 0]
             rgb = scatter_back(rgbs_c, dest, (N, S))
-            return sig, rgb
+            # rays with any capacity-dropped sample would composite wrongly;
+            # flag them so the loss can mask them out (random ray sampling
+            # rotates which rays overflow, so no ray starves)
+            ray_ok = ~jnp.any(valid & (dest >= m_cap), axis=1)
+            return sig, rgb, ray_ok
         return fn
 
-    sigmas, rgbs = jax.lax.switch(bucket, [eval_at_cap(c) for c in caps],
-                                  None)
+    sigmas, rgbs, ray_ok = jax.lax.switch(
+        bucket, [eval_at_cap(c) for c in caps], None
+    )
 
     weights_sum, depth, image = composite_rays_train(
         sigmas, rgbs, dts, ts, valid, march["t0"], render_cfg.t_thresh
@@ -153,6 +161,7 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
         "nears": nears,
         "fars": fars,
         "n_samples": march["n_samples"],
+        "ray_ok": ray_ok,
     }
 
 

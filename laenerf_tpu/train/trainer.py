@@ -85,7 +85,10 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
                                 model_cfg=model_cfg, render_cfg=render_cfg,
                                 bg_color=bg, perturb=True)
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
-        loss = jnp.mean(per_ray)
+        # rays whose samples were capacity-dropped composite wrongly; mask
+        # them out (their slots rotate with the random ray sampling)
+        ok = out["ray_ok"].astype(jnp.float32)
+        loss = jnp.sum(per_ray * ok) / jnp.maximum(jnp.sum(ok), 1.0)
         if distill and depth_target is not None:
             dw = (depth_target > 0).astype(jnp.float32)
             dloss = jnp.mean(
