@@ -58,7 +58,8 @@ def build_parser():
                    help="accepted for script compat; marching is always on")
 
     # TPU-specific shapes
-    p.add_argument("--march_iters", type=int, default=256)
+    p.add_argument("--march_iters", type=int, default=None,
+                   help="march event budget; default = max_steps so rays always cover [near, far] (see docs/DESIGN.md)")
     p.add_argument("--m_cap_per_ray", type=int, default=32)
     p.add_argument("--infer_chunk_events", type=int, default=16)
     p.add_argument("--eval_chunk", type=int, default=16384)
@@ -122,7 +123,7 @@ def make_configs(opt):
         bound=opt.bound, cascades=cascades, grid_size=128,
         dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
         min_near=opt.min_near, density_thresh=opt.density_thresh,
-        march_iters=opt.march_iters,
+        march_iters=opt.march_iters or opt.max_steps,
         m_cap_per_ray=opt.m_cap_per_ray,
         infer_chunk_events=opt.infer_chunk_events,
     )
