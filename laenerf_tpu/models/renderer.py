@@ -120,7 +120,7 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     base_cap = N * render_cfg.m_cap_per_ray
     # the top tier covers the dense early-training phase (grid not yet
     # pruned): generous enough that drops are rare before pruning kicks in
-    top_cap = max(base_cap, (N * S) // 2)
+    top_cap = max(base_cap, (N * S) // 4)
     caps = sorted({max(base_cap // 4, 1024), base_cap, top_cap})
     n_valid = jnp.sum(valid)
     bucket = jnp.minimum(
@@ -128,12 +128,18 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
         len(caps) - 1,
     )
 
+    # rematerialize the network eval: its residuals (gathered table rows,
+    # MLP activations) dominate HBM at the big tiers
+    network = jax.checkpoint(
+        lambda p, x, d: nerf_forward(p, model_cfg, x, d)
+    )
+
     def eval_at_cap(m_cap):
         def fn(_):
             gather_idx, gather_mask, dest = compact_samples(valid, m_cap)
             xyz_c = gather_flat(xyz_flat, gather_idx)
             dirs_c = gather_flat(dirs, gather_idx)
-            sigmas_c, rgbs_c = nerf_forward(params, model_cfg, xyz_c, dirs_c)
+            sigmas_c, rgbs_c = network(params, xyz_c, dirs_c)
             sigmas_c = sigmas_c * render_cfg.density_scale
             sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
             sig = scatter_back(sigmas_c[:, None], dest, (N, S))[..., 0]
