@@ -109,3 +109,46 @@ def test_recolor_pipeline(trained):
               "palette_eval.json", "timings.json",
               "results_psnr_train.json"):
         assert os.path.exists(os.path.join(ws, f)), f
+
+
+def test_recolorable_reload(trained):
+    """BASELINE config 5: reload a trained LAENeRF (+ palette) and skip the
+    style-encoder training phase (gui.py:165-180)."""
+    import os
+
+    import numpy as np
+
+    from laenerf_tpu.editing import EditGrid, StyleLossWeights
+    from laenerf_tpu.pipeline import EditPipeline, PipelineConfig, project_points
+
+    tmp, ds, tr = trained
+    ws1 = tmp + "/edit_ws"  # produced by test_recolor_pipeline
+    enc_path = os.path.join(ws1, "style_enc.npz")
+    assert os.path.exists(enc_path)
+
+    # modified palette file
+    pal = np.load(os.path.join(ws1, "palet_og.npz"))["palette"]
+    pal_path = tmp + "/pal_mod.npz"
+    np.savez(pal_path, palette=np.clip(pal * [1.5, 0.2, 0.2], 0, 1))
+
+    eg = EditGrid.load(os.path.join(ws1, "edit_grid.npz"))
+    grow = EditGrid.load(os.path.join(ws1, "grow_grid.npz"))
+    cfg = PipelineConfig(
+        mode="recolor", train_steps_style=50, train_steps_distill=10,
+        distill_palette_steps=0, num_palette_bases=4, depth_diff=0.5,
+        weights=StyleLossWeights(warmup_iterations=10),
+        style_enc_path=enc_path, palette_path=pal_path,
+        load_edit_dataset=os.path.join(ws1, "edataset.npz"),
+    )
+    pipe = EditPipeline(tr, ds, cfg, tmp + "/edit_ws2", eg, grow)
+    pipe.init_phase()
+    # reload path: training is skipped entirely
+    pipe.train_laenerf_phase(log_fn=lambda *a: None)
+    assert pipe.style_trainer.step == 0
+    # the palette file overrode the learned palette
+    np.testing.assert_allclose(
+        np.asarray(pipe.style_trainer.params["palette"]),
+        np.load(pal_path)["palette"], atol=1e-6,
+    )
+    stats = pipe.distill_phase(log_fn=lambda *a: None)
+    assert np.isfinite(stats["tv_loss"])
