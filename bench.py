@@ -47,16 +47,21 @@ def main():
                            log2_hashmap_size=19, paired_gather=True)
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
-                              m_cap_per_ray=32, density_thresh=10.0,
-                              infer_chunk_events=16)
+                              m_cap_per_ray=16, density_thresh=10.0,
+                              infer_chunk_events=32)
     tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
-                 eval_chunk=16384)
+                 eval_chunk=32768)
     tr.mark_untrained(ds)
 
-    # warm up & train so the occupancy grid is realistic
-    warm_steps = 384
-    for step in range(warm_steps):
+    # warm up until the occupancy grid prunes (realistic steady state)
+    step = 0
+    while step < 1024:
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
+        step += 1
+        if step % 128 == 0:
+            occ_frac = float(jnp.mean(tr.occ_state.occupancy))
+            if occ_frac < 0.12 and step >= 384:
+                break
     jax.block_until_ready(tr.state.params)
 
     # --- train iters/sec ---
