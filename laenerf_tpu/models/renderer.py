@@ -23,9 +23,9 @@ import jax.numpy as jnp
 
 from ..ops.compaction import compact_samples, gather_flat, scatter_back  # noqa: F401
 from ..ops.composite import composite_chunk, composite_rays_train
-from ..ops.raymarch import (MarchConfig, _march_event, march_rays_train,
-                            near_far_from_aabb, sample_positions,
-                            sph_from_ray)
+from ..ops.raymarch import (MarchConfig, _march_event, build_coarse_occupancy,
+                            march_rays_train, near_far_from_aabb,
+                            sample_positions, sph_from_ray)
 from .nerf import NeRFConfig, nerf_background, nerf_forward
 
 
@@ -256,12 +256,13 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
     grid_flat = occupancy.reshape(-1)
+    coarse_flat = build_coarse_occupancy(occupancy).reshape(-1)
 
     def march_round(t):
         """March K events for every ray; returns per-round padded samples."""
         def step(tc, _):
             t_next, (ts_s, dt_s, occ, _) = _march_event(
-                tc, rays_o, rays_d, grid_flat, None, cfg
+                tc, rays_o, rays_d, grid_flat, None, cfg, coarse_flat
             )
             done = tc >= fars
             t_next = jnp.where(done, tc, t_next)
@@ -340,13 +341,15 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
               else jnp.zeros((N,), jnp.float32))
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
-    march_grid = (edit_grid if grow_grid else occupancy).reshape(-1)
+    march_src = edit_grid if grow_grid else occupancy
+    march_grid = march_src.reshape(-1)
+    coarse_flat = build_coarse_occupancy(march_src).reshape(-1)
     edit_flat = edit_grid.reshape(-1)
 
     def march_round(t):
         def step(tc, _):
             t_next, (ts_s, dt_s, occ, eocc) = _march_event(
-                tc, rays_o, rays_d, march_grid, edit_flat, cfg
+                tc, rays_o, rays_d, march_grid, edit_flat, cfg, coarse_flat
             )
             done = tc >= fars
             t_next = jnp.where(done, tc, t_next)

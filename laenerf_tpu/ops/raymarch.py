@@ -112,8 +112,29 @@ def _mip_level(x, y, z, dt, cfg: MarchConfig):
     return jnp.clip(lvl, 0, cfg.cascades - 1)
 
 
-def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig):
-    """One march event per ray: sample if occupied, else skip the voxel.
+COARSE_FACTOR = 8  # coarse skip grid is H/8 per axis
+
+
+def build_coarse_occupancy(occupancy):
+    """Max-pool the [CAS, H, H, H] occupancy by COARSE_FACTOR per axis.
+
+    Hierarchical empty-space skipping (in the spirit of VDB-style
+    hierarchical ray traversal): one march event can skip a whole empty
+    8^3-voxel block instead of a single voxel. A coarse cell is occupied iff
+    any fine cell inside it is, so skips never jump over occupied space and
+    sample positions are unchanged (skips stay on the dt lattice).
+    """
+    f = COARSE_FACTOR
+    cas, H = occupancy.shape[0], occupancy.shape[1]
+    return occupancy.reshape(cas, H // f, f, H // f, f, H // f, f).max(
+        axis=(2, 4, 6)
+    )
+
+
+def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig,
+                 coarse_flat=None):
+    """One march event per ray: sample if occupied, else skip the fine voxel
+    (or the whole coarse block when it is empty).
 
     Args:
       t: [N] current ray parameter.
@@ -121,6 +142,7 @@ def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig):
       grid_flat: [CAS*H*H*H] uint8 occupancy (density grid bitfield, unpacked).
       edit_flat: optional second grid of the same shape (distill path), or None.
       cfg: static config.
+      coarse_flat: optional [CAS*(H/8)^3] uint8 coarse occupancy.
     Returns:
       (t_next, sample) where sample = (ts, dt, occ, edit_occ) all [N].
     """
@@ -149,14 +171,31 @@ def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig):
         else jnp.zeros_like(occ)
     )
 
-    # Advance: occupied -> one dt step; empty -> jump past the voxel on the
-    # dt lattice (exact for gamma == 0; self-correcting otherwise).
     rd = 1.0 / rays_d
     sgn = jnp.sign(rays_d)
-    nxt = jnp.stack([nx, ny, nz], axis=-1).astype(jnp.float32)
-    tv = (((nxt + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0) * mip_bound[:, None]
-          - jnp.stack([x, y, z], axis=-1)) * rd
-    tt = t + jnp.maximum(0.0, jnp.min(tv, axis=-1))
+    pos = jnp.stack([x, y, z], axis=-1)
+
+    def boundary_t(cells, grid_h):
+        """Distance to the exit face of the current cell on a grid_h grid."""
+        c = cells.astype(jnp.float32)
+        tv = (((c + 0.5 + 0.5 * sgn) * (2.0 / grid_h) - 1.0)
+              * mip_bound[:, None] - pos) * rd
+        return t + jnp.maximum(0.0, jnp.min(tv, axis=-1))
+
+    tt_fine = boundary_t(jnp.stack([nx, ny, nz], -1), H)
+    if coarse_flat is not None:
+        f = COARSE_FACTOR
+        Hc = H // f
+        cx, cy, cz = nx // f, ny // f, nz // f
+        cidx = ((level * Hc + cx) * Hc + cy) * Hc + cz
+        occ_c = jnp.take(coarse_flat, cidx, axis=0) > 0
+        tt_coarse = boundary_t(jnp.stack([cx, cy, cz], -1), Hc)
+        tt = jnp.where(occ_c, tt_fine, tt_coarse)
+    else:
+        tt = tt_fine
+
+    # jump on the dt lattice (exact for gamma == 0; self-correcting
+    # otherwise: a short jump just re-skips next event)
     n_skip = jnp.floor((tt - t) / dt) + 1.0
     t_skip = t + jnp.maximum(n_skip, 1.0) * dt
 
@@ -200,12 +239,14 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
       edit_occ: [N, S] bool (all False unless with_edit).
     """
     grid_flat = occupancy.reshape(-1)
+    coarse_flat = build_coarse_occupancy(occupancy).reshape(-1)
     edit_flat = edit_grid.reshape(-1) if with_edit else None
 
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
     def step(t, _):
-        t_next, sample = _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg)
+        t_next, sample = _march_event(t, rays_o, rays_d, grid_flat, edit_flat,
+                                      cfg, coarse_flat)
         # Freeze rays that have left the volume.
         done = t >= fars
         t_next = jnp.where(done, t, t_next)
