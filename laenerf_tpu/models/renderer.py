@@ -201,10 +201,10 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
     base = (N * K) // factor
     caps = [base]
     c = base // 4
-    while c >= 1024 and len(caps) < 3:
+    while c >= 1024:
         caps.append(c)
         c //= 4
-    caps = sorted(set(caps))  # ascending
+    caps = sorted(set(caps))  # ascending; late rounds hit the tiny tiers
 
     n_valid = jnp.sum(valid)
     bucket = jnp.searchsorted(jnp.array(caps), n_valid, side="left")
