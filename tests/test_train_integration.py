@@ -103,3 +103,25 @@ def test_dp_train_step_8devices(scene_dir):
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+def test_dp_render_image_8devices(scene_dir):
+    """Sharded full-image rendering must match single-device rendering."""
+    from laenerf_tpu.parallel import dp_render_image, make_mesh
+
+    ds = NeRFDataset(scene_dir, "train", num_rays=256)
+    with tempfile.TemporaryDirectory() as ws:
+        tr = Trainer(ws, MODEL_CFG, RENDER_CFG, lr=1e-2, iters=500)
+        tr.mark_untrained(ds)
+        for step in range(30):
+            tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
+
+        img1, d1 = tr.render_image(ds.poses[0], ds.intrinsics, 32, 32)
+        mesh = make_mesh(8)
+        img8, d8 = dp_render_image(
+            mesh, tr.state.ema_params, tr.occ_state.occupancy, ds.poses[0],
+            ds.intrinsics, 32, 32, model_cfg=MODEL_CFG,
+            render_cfg=RENDER_CFG,
+        )
+        np.testing.assert_allclose(img8, img1, atol=2e-3)
+        np.testing.assert_allclose(d8, d1, atol=2e-3)
