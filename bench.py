@@ -55,14 +55,17 @@ def main():
 
     # warm up until the occupancy grid prunes (realistic steady state)
     step = 0
-    while step < 1024:
+    occ_frac = 1.0
+    while step < 3072:
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
         step += 1
         if step % 128 == 0:
             occ_frac = float(jnp.mean(tr.occ_state.occupancy))
+            print(f"# warm {step}: occ_frac {occ_frac:.3f}", flush=True)
             if occ_frac < 0.12 and step >= 384:
                 break
     jax.block_until_ready(tr.state.params)
+    warm_steps = step
 
     # --- train iters/sec ---
     n_train_iters = 50
@@ -87,6 +90,12 @@ def main():
     dt = time.time() - t0
     rays_per_sec = n_renders * H * W / dt
 
+    # quality sanity: one dataset-resolution render vs GT
+    img, _ = tr.render_image(ds.poses[0], ds.intrinsics, ds.H, ds.W)
+    gt = ds.images[0]
+    gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+    psnr = float(-10 * np.log10(max(np.mean((img - gt) ** 2), 1e-10)))
+
     result = {
         "metric": "render_rays_per_sec_800x800",
         "value": round(rays_per_sec, 1),
@@ -94,6 +103,9 @@ def main():
         "vs_baseline": round(rays_per_sec / A100_RAYS_PER_SEC_ESTIMATE, 3),
         "train_iters_per_sec": round(train_iters_per_sec, 2),
         "render_ms_per_frame": round(1000 * dt / n_renders, 1),
+        "train_psnr": round(psnr, 2),
+        "occ_frac": round(occ_frac, 4),
+        "warm_steps": warm_steps,
         "setup_s": round(time.time() - t_setup, 1),
         "device": str(jax.devices()[0]),
     }
