@@ -311,6 +311,7 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         "weights_sum": acc["ws"],
         "nears": nears,
         "fars": fars,
+        "rounds": out["round"],
     }
 
 

@@ -374,7 +374,9 @@ class Trainer:
         if pad:
             rays_o = jnp.concatenate([rays_o, rays_o[:pad]], axis=0)
             rays_d = jnp.concatenate([rays_d, rays_d[:pad]], axis=0)
+        stats = os.environ.get("LAENERF_RENDER_STATS")
         for s in range(0, n + pad, chunk):
+            t0 = time.time()
             out = render_rays_infer(
                 params, self.occ_state.occupancy,
                 rays_o[s:s + chunk], rays_d[s:s + chunk], self._next_key(),
@@ -383,6 +385,9 @@ class Trainer:
             )
             imgs.append(np.asarray(out["image"]))
             depths.append(np.asarray(out["depth"]))
+            if stats:
+                print(f"# chunk {s // chunk}: {time.time() - t0:.3f}s "
+                      f"rounds={int(out['rounds'])}", flush=True)
         img = np.concatenate(imgs, axis=0)[:n].reshape(H, W, 3)
         depth = np.concatenate(depths, axis=0)[:n].reshape(H, W)
         return img, depth
