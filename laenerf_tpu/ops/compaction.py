@@ -14,7 +14,11 @@ import jax.numpy as jnp
 
 
 def compact_samples(valid, m_cap: int):
-    """Compute gather/scatter indexing for compaction.
+    """Compute gather/scatter indexing for compaction — scatter-free.
+
+    TPU scatters cost ~10-30 ms at the 1M-element sizes this runs at per
+    render round; this formulation uses only a tiny per-row sort (S-wide),
+    row-count cumsums, and a searchsorted, all of which vectorize cleanly.
 
     Args:
       valid: [N, S] bool.
@@ -29,18 +33,30 @@ def compact_samples(valid, m_cap: int):
         (== m_cap for dropped/invalid samples, i.e. a dumpster row).
     """
     N, S = valid.shape
-    flat = valid.reshape(-1)
-    pos = jnp.cumsum(flat) - 1  # destination row per valid sample
-    keep = flat & (pos < m_cap)
-    dest_flat = jnp.where(keep, pos, m_cap)
+    counts = jnp.sum(valid, axis=1)  # [N]
+    offsets_incl = jnp.cumsum(counts)  # [N]
+    offsets_excl = offsets_incl - counts
 
-    # inverse mapping: which [N*S] slot does compacted row m come from
-    src = jnp.arange(N * S, dtype=jnp.int32)
-    gather_idx = jnp.zeros((m_cap + 1,), dtype=jnp.int32)
-    gather_idx = gather_idx.at[dest_flat].set(src)[:m_cap]
-    n_valid = jnp.sum(flat)
-    gather_mask = jnp.arange(m_cap) < jnp.minimum(n_valid, m_cap)
-    return gather_idx, gather_mask, dest_flat.reshape(N, S)
+    # per-sample destination: row offset + within-row prefix position
+    pos_in_row = jnp.cumsum(valid, axis=1) - 1  # [N, S]
+    dest = offsets_excl[:, None] + pos_in_row
+    keep = valid & (dest < m_cap)
+    dest = jnp.where(keep, dest, m_cap).astype(jnp.int32)
+
+    # inverse mapping without a scatter: stable-sort each S-wide row so the
+    # valid slots come first, then address output row m as (ray, j) via a
+    # searchsorted over the row offsets
+    order = jnp.argsort(~valid, axis=1, stable=True)  # [N, S]
+    m = jnp.arange(m_cap, dtype=jnp.int32)
+    ray = jnp.searchsorted(offsets_incl, m, side="right").astype(jnp.int32)
+    ray = jnp.minimum(ray, N - 1)
+    j = jnp.clip(m - jnp.take(offsets_excl, ray).astype(jnp.int32), 0, S - 1)
+    slot = jnp.take(order.reshape(-1), ray * S + j)
+    gather_idx = (ray * S + slot).astype(jnp.int32)
+
+    n_valid = offsets_incl[-1]
+    gather_mask = m < jnp.minimum(n_valid, m_cap)
+    return gather_idx, gather_mask, dest
 
 
 def gather_flat(x, gather_idx):
