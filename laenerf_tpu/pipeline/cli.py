@@ -56,6 +56,11 @@ def build_parser():
     p.add_argument("--fp16", action="store_true")
     p.add_argument("--cuda_ray", action="store_true",
                    help="accepted for script compat; marching is always on")
+    p.add_argument("--ff", action="store_true",
+                   help="accepted for compat; MLPs are always XLA-fused here "
+                        "(the reference's ffmlp backbone, network_ff.py)")
+    p.add_argument("--tcnn", action="store_true",
+                   help="accepted for compat; same as --ff (network_tcnn.py)")
 
     # TPU-specific shapes
     p.add_argument("--march_iters", type=int, default=None,
