@@ -150,21 +150,33 @@ def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig,
     bound = cfg.bound
     dt_min, dt_max = cfg.dt_min, cfg.dt_max
     gamma = cfg.dt_gamma
+    single_level = cfg.cascades == 1  # static: no mip math needed
 
     x = jnp.clip(rays_o[:, 0] + t * rays_d[:, 0], -bound, bound)
     y = jnp.clip(rays_o[:, 1] + t * rays_d[:, 1], -bound, bound)
     z = jnp.clip(rays_o[:, 2] + t * rays_d[:, 2], -bound, bound)
 
-    dt = jnp.clip(t * gamma, dt_min, dt_max)
-    level = _mip_level(x, y, z, dt, cfg)
-    mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+    if gamma == 0.0:  # static: constant step (synthetic/llff configs)
+        dt = jnp.full_like(t, dt_min)
+    else:
+        dt = jnp.clip(t * gamma, dt_min, dt_max)
+
+    if single_level:
+        level = jnp.zeros_like(t, dtype=jnp.int32)
+        mip_bound = jnp.full_like(t, min(1.0, bound))
+    else:
+        level = _mip_level(x, y, z, dt, cfg)
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
     inv_mb = 1.0 / mip_bound
 
     def cell(v):
         return jnp.clip(0.5 * (v * inv_mb + 1.0) * H, 0.0, H - 1.0).astype(jnp.int32)
 
     nx, ny, nz = cell(x), cell(y), cell(z)
-    flat_idx = ((level * H + nx) * H + ny) * H + nz
+    if single_level:
+        flat_idx = (nx * H + ny) * H + nz
+    else:
+        flat_idx = ((level * H + nx) * H + ny) * H + nz
     occ = jnp.take(grid_flat, flat_idx, axis=0) > 0
     edit_occ = (
         jnp.take(edit_flat, flat_idx, axis=0) > 0 if edit_flat is not None
@@ -187,7 +199,10 @@ def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig,
         f = COARSE_FACTOR
         Hc = H // f
         cx, cy, cz = nx // f, ny // f, nz // f
-        cidx = ((level * Hc + cx) * Hc + cy) * Hc + cz
+        if single_level:
+            cidx = (cx * Hc + cy) * Hc + cz
+        else:
+            cidx = ((level * Hc + cx) * Hc + cy) * Hc + cz
         occ_c = jnp.take(coarse_flat, cidx, axis=0) > 0
         tt_coarse = boundary_t(jnp.stack([cx, cy, cz], -1), Hc)
         tt = jnp.where(occ_c, tt_fine, tt_coarse)
