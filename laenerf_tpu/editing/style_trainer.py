@@ -60,12 +60,14 @@ def make_style_optimizer(lr: float = 1e-3):
 
 @partial(jax.jit, static_argnames=("cfg", "weights", "optimizer", "H", "W",
                                    "crop_h", "crop_w", "use_style",
-                                   "past_warmup", "style_layers"))
+                                   "past_warmup", "style_layers",
+                                   "vgg_kinds"))
 def laenerf_train_step(params, opt_state, active, batch, key, *,
                        cfg: LAENeRFConfig, weights: StyleLossWeights,
                        optimizer, H: int, W: int, crop_h: int, crop_w: int,
                        use_style: bool, past_warmup: bool,
-                       vgg_params=None, style_layers=None, gram_targets=None):
+                       vgg_params=None, vgg_kinds=None, style_layers=None,
+                       gram_targets=None):
     """One LAENeRF optimization step on one view's padded batch.
 
     Args:
@@ -116,7 +118,7 @@ def laenerf_train_step(params, opt_state, active, batch, key, *,
 
             if use_style and weights.style_weight > 0:
                 x = jax.image.resize(img_chw, (3, 256, 256), "bilinear")
-                feats = vgg_features(vgg_params[0], vgg_params[1],
+                feats = vgg_features(vgg_params, vgg_kinds,
                                      normalize_imagenet(x)[None],
                                      style_layers)
                 grams = gram_matrices(feats)
@@ -178,10 +180,12 @@ class LAENeRFTrainer:
         self.step = 0
 
         if style_network is not None:
-            self._vgg = (style_network.params, style_network.kinds)
-            self._style_layers = style_network.style_layers
+            self._vgg = style_network.params
+            self._vgg_kinds = tuple(style_network.kinds)
+            self._style_layers = tuple(style_network.style_layers)
         else:
             self._vgg = None
+            self._vgg_kinds = None
             self._style_layers = None
 
     def _gram_targets(self):
@@ -213,7 +217,8 @@ class LAENeRFTrainer:
                 crop_w=self.ds.crop_w,
                 use_style=self.style_network is not None,
                 past_warmup=self.step > self.weights.warmup_iterations,
-                vgg_params=self._vgg, style_layers=self._style_layers,
+                vgg_params=self._vgg, vgg_kinds=self._vgg_kinds,
+                style_layers=self._style_layers,
                 gram_targets=self._gram_targets(),
             )
             self.step += 1
