@@ -152,3 +152,47 @@ def test_recolorable_reload(trained):
     )
     stats = pipe.distill_phase(log_fn=lambda *a: None)
     assert np.isfinite(stats["tv_loss"])
+
+
+def test_style_pipeline(trained, tmp_path):
+    """-m style flow with Gram/TV/depth-disc losses active (run_llff.sh:68-97
+    hyperparameter shape, miniature budgets)."""
+    import os
+
+    import numpy as np
+
+    from laenerf_tpu.editing import EditGrid, StyleLossWeights
+    from laenerf_tpu.pipeline import EditPipeline, PipelineConfig
+
+    tmp, ds, tr = trained
+    ws1 = tmp + "/edit_ws"
+    eg = EditGrid.load(os.path.join(ws1, "edit_grid.npz"))
+    grow = EditGrid.load(os.path.join(ws1, "grow_grid.npz"))
+
+    # style image
+    rng = np.random.RandomState(0)
+    style_path = str(tmp_path / "style.png")
+    import imageio.v2 as imageio
+
+    imageio.imwrite(style_path, (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+
+    cfg = PipelineConfig(
+        mode="style", train_steps_style=25, train_steps_distill=10,
+        distill_palette_steps=5, num_palette_bases=4, depth_diff=0.5,
+        style_image=style_path, crop_size=32,
+        load_edit_dataset=os.path.join(ws1, "edataset.npz"),
+        weights=StyleLossWeights(
+            offset_loss=5e-5, weight_loss_non_uniform=1e-7,
+            palette_loss_valid=1.0, smooth_trans_weight=1e-3,
+            tv_weight=1e-4, tv_depth_guide=True, depth_disc_weight=5e-4,
+            style_weight=130.0, warmup_iterations=5,
+        ),
+    )
+    pipe = EditPipeline(tr, ds, cfg, str(tmp_path / "style_ws"), eg, grow)
+    pipe.init_phase()
+    assert pipe.style_trainer.style_network is not None
+    pipe.train_laenerf_phase(log_every=25, log_fn=lambda *a: None)
+    assert pipe.style_trainer.step == 25
+    stats = pipe.distill_phase(log_fn=lambda *a: None)
+    assert np.isfinite(stats["tv_loss"])
+    assert os.path.exists(str(tmp_path / "style_ws" / "style_image.png"))
