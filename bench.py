@@ -61,7 +61,8 @@ def main():
         step += 1
         if step % 128 == 0:
             occ_frac = float(jnp.mean(tr.occ_state.occupancy))
-            print(f"# warm {step}: occ_frac {occ_frac:.3f}", flush=True)
+            print(f"# warm {step}: occ_frac {occ_frac:.3f}",
+                  file=sys.stderr, flush=True)
             if occ_frac < 0.12 and step >= 384:
                 break
     jax.block_until_ready(tr.state.params)
