@@ -81,12 +81,13 @@ class NeRFDataset:
     def __init__(self, path: str, split: str = "train", downscale: int = 1,
                  scale: float = 0.33, offset=(0, 0, 0), num_rays: int = 4096,
                  error_map: bool = False, patch_size: int = 1,
-                 n_test: int = 10, seed: int = 0):
+                 n_test: int = 10, seed: int = 0, color_space: str = "srgb"):
         self.root_path = path
         self.split = split
         self.downscale = downscale
         self.scale = scale
         self.offset = tuple(offset)
+        self.color_space = color_space
         self.training = split in ("train", "all", "trainval")
         self.num_rays = num_rays if self.training else -1
         self.patch_size = patch_size
@@ -188,6 +189,15 @@ class NeRFDataset:
         self.poses = np.stack(self.poses, axis=0)
         if self.images is not None and len(self.images) > 0:
             self.images = np.stack(self.images, axis=0)  # [B, H, W, C]
+            if color_space == "linear":
+                # the reference converts GT pixels per step
+                # (nerf/utils.py:563); converting once at load time is
+                # equivalent since images are only ever used as GT. Alpha
+                # (if present) stays untouched.
+                from ..utils.color import srgb_to_linear
+
+                self.images[..., :3] = np.asarray(
+                    srgb_to_linear(self.images[..., :3]))
         self.radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
 
         # error map for importance sampling (provider.py:251-255)

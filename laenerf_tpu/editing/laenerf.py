@@ -131,18 +131,26 @@ def laenerf_forward_train(params, cfg: LAENeRFConfig, x, d, active,
 
 
 def prune_palette(params, cfg: LAENeRFConfig, active, x_term_views,
-                  thresh: float = 0.025):
+                  thresh: float = 0.025, valid_views=None):
     """distill_color_palettes (style_encoder.py:160-172): deactivate bases
     whose mean weight over sampled views falls below thresh.
 
     Args:
       x_term_views: list of [Ni, 3] termination-point arrays (sampled views).
+      valid_views: optional matching list of [Ni] masks. Padded x_term rows
+        are all-zero and would bias the mean toward whichever basis owns the
+        origin, so they must be excluded from the per-view mean.
     Returns new active mask [K] bool.
     """
     mean_w = jnp.zeros((cfg.num_palette_bases,))
-    for x in x_term_views:
+    for i, x in enumerate(x_term_views):
         w = laenerf_weights(params, cfg, jnp.asarray(x), active)
-        mean_w = mean_w + jnp.mean(w, axis=0)
+        if valid_views is not None:
+            v = jnp.asarray(valid_views[i]).astype(w.dtype)[:, None]
+            mean_w = mean_w + (jnp.sum(w * v, axis=0)
+                               / jnp.maximum(jnp.sum(v), 1.0))
+        else:
+            mean_w = mean_w + jnp.mean(w, axis=0)
     mean_w = mean_w / len(x_term_views)
     return mean_w >= thresh
 

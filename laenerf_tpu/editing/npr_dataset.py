@@ -102,7 +102,12 @@ class SingleViewEditDataset:
 
         # reference view registration points: base pass + 2 jittered passes
         # (single_view_edit_dataset.py:102-187)
-        alpha = dataset.images[ref_idx, ..., -1].reshape(-1)
+        # only treat the 4th channel as alpha; on RGB (colmap/LLFF) datasets
+        # every pixel registers (build_npr_nerf_dataset does the same)
+        if dataset.images.shape[-1] == 4:
+            alpha = dataset.images[ref_idx, ..., -1].reshape(-1)
+        else:
+            alpha = np.ones(self.H * self.W, np.float32)
         ref_mask = np.nonzero(alpha > 0)[0]
         ref_x, ref_rgb, ref_dirs = [], [], []
         for k in range(3):

@@ -61,13 +61,13 @@ def make_style_optimizer(lr: float = 1e-3):
 @partial(jax.jit, static_argnames=("cfg", "weights", "optimizer", "H", "W",
                                    "crop_h", "crop_w", "use_style",
                                    "past_warmup", "style_layers",
-                                   "vgg_kinds"))
+                                   "vgg_kinds", "crop_size"))
 def laenerf_train_step(params, opt_state, active, batch, key, *,
                        cfg: LAENeRFConfig, weights: StyleLossWeights,
                        optimizer, H: int, W: int, crop_h: int, crop_w: int,
                        use_style: bool, past_warmup: bool,
                        vgg_params=None, vgg_kinds=None, style_layers=None,
-                       gram_targets=None):
+                       gram_targets=None, crop_size: int = 256):
     """One LAENeRF optimization step on one view's padded batch.
 
     Args:
@@ -117,7 +117,11 @@ def laenerf_train_step(params, opt_state, active, batch, key, *,
             img_chw = jnp.moveaxis(img, -1, 0)
 
             if use_style and weights.style_weight > 0:
-                x = jax.image.resize(img_chw, (3, 256, 256), "bilinear")
+                # resize the crop window to --crop_size (the reference feeds
+                # crop_size-sized tensors to the style net,
+                # style_network.py:129-135) — not a 256 literal
+                x = jax.image.resize(img_chw, (3, crop_size, crop_size),
+                                     "bilinear")
                 feats = vgg_features(vgg_params, vgg_kinds,
                                      normalize_imagenet(x)[None],
                                      style_layers)
@@ -165,13 +169,14 @@ class LAENeRFTrainer:
 
     def __init__(self, cfg: LAENeRFConfig, weights: StyleLossWeights,
                  edit_dataset, style_network=None, lr: float = 1e-3,
-                 seed: int = 0):
+                 seed: int = 0, crop_size: int = 256):
         from .laenerf import laenerf_init
 
         self.cfg = cfg
         self.weights = weights
         self.ds = edit_dataset
         self.style_network = style_network
+        self.crop_size = crop_size
         self.key = jax.random.PRNGKey(seed)
         self.key, k = jax.random.split(self.key)
         self.params, self.active = laenerf_init(k, cfg)
@@ -220,17 +225,22 @@ class LAENeRFTrainer:
                 vgg_params=self._vgg, vgg_kinds=self._vgg_kinds,
                 style_layers=self._style_layers,
                 gram_targets=self._gram_targets(),
+                crop_size=self.crop_size,
             )
             self.step += 1
             losses.append(float(aux["mse"]))
         return float(np.mean(losses))
 
     def prune(self, n_views: int = 10, thresh: float = 0.025):
-        """Palette pruning (style_encoder.py:160-172)."""
+        """Palette pruning over 10 random views (style_encoder.py:160-172),
+        with padded batch rows masked out of the per-view means."""
         idx = self.rngint(n_views)
-        views = [self.ds.get_batch(i, jitter=False)["x_term"] for i in idx]
-        self.active = prune_palette(self.params, self.cfg, self.active,
-                                    views, thresh)
+        batches = [self.ds.get_batch(i, jitter=False) for i in idx]
+        self.active = prune_palette(
+            self.params, self.cfg, self.active,
+            [b["x_term"] for b in batches], thresh,
+            valid_views=[b["valid"] for b in batches],
+        )
         return np.asarray(self.active)
 
     def rngint(self, n):

@@ -39,7 +39,7 @@ def composite_rays_train(sigmas, rgbs, dts, ts, valid, t0, T_thresh=1e-4):
       T_thresh: early-termination transmittance threshold.
 
     Returns:
-      weights_sum: [N], depth: [N], image: [N, 3], weights: [N, S].
+      weights_sum: [N], depth: [N], image: [N, 3].
     """
     sd = jnp.where(valid, sigmas * dts, 0.0)  # [N, S]
     csum = jnp.cumsum(sd, axis=1)

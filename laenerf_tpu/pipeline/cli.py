@@ -167,7 +167,8 @@ def main(argv=None):
             return NeRFDataset(opt.path, split, downscale=opt.downscale,
                                scale=opt.scale, offset=opt.offset,
                                num_rays=opt.num_rays, error_map=opt.error_map,
-                               patch_size=opt.patch_size, seed=opt.seed)
+                               patch_size=opt.patch_size, seed=opt.seed,
+                               color_space=opt.color_space)
         except FileNotFoundError:
             if required:
                 raise

@@ -151,6 +151,7 @@ class EditPipeline:
         self.style_trainer = LAENeRFTrainer(
             self.laenerf_cfg, cfg.weights, self.edit_dataset,
             style_network=style_network, seed=self.seed,
+            crop_size=cfg.crop_size,
         )
 
         # recolorable-stylization reload (gui.py:165-180, 2050-2051)

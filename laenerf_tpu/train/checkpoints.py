@@ -2,9 +2,11 @@
 
 Equivalent of the reference Trainer's checkpointing
 (/root/reference/nerf/utils.py:1626-1753): saves model / optimizer / EMA /
-occupancy state + scalars, rolling max_keep, best-by-metric (with the
-density grid stripped from "best" checkpoints), and load modes
-scratch/latest/best/path. Storage is a single .npz per checkpoint with
+occupancy state + scalars, rolling max_keep, best-by-metric, and load modes
+scratch/latest/best/path. Deliberate deviation (docs/DESIGN.md §8): "best"
+checkpoints keep the occupancy state — npz makes it cheap, whereas the
+reference strips density_grid to shrink torch pickles.
+Storage is a single .npz per checkpoint with
 flattened pytree paths (portable, no pickle, no framework churn).
 """
 

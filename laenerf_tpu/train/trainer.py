@@ -333,7 +333,9 @@ class Trainer:
         has_alpha = dataset.images.shape[-1] == 4
         self.mark_untrained(dataset)
         t_start = time.time()
+        epoch = 0
         while self.global_step < max_steps:
+            epoch += 1
             for idx in dataset.epoch_indices():
                 if self.global_step >= max_steps:
                     break
@@ -355,7 +357,12 @@ class Trainer:
                         f"samples/ray={float(jnp.mean(aux['n_samples'])):.1f} "
                         f"({time.time() - t_start:.1f}s)"
                     )
-            if eval_interval and valid_dataset is not None:
+            # evaluate every eval_interval epochs (the reference's
+            # self.epoch % self.eval_interval gate, utils.py:764-766) —
+            # NOT every epoch, or the CLI default (50) triggers hundreds of
+            # full-validation renders per run
+            if (eval_interval and valid_dataset is not None
+                    and epoch % eval_interval == 0):
                 self.evaluate(valid_dataset)
         self.save_checkpoint()
 

@@ -25,6 +25,9 @@ COMMON=(
   --scale "$scale" --bg_radius "$bg_radius" --density_thresh "$density_thresh"
   --min_near "${min_near:-0.2}" --no_bg -O --dt_gamma "${dt_gamma:-0}"
 )
+# per-scene AABB recentering (reference run_llff.sh passes --offset; word-split
+# the 'x y z' string into three args)
+[ -n "$offset" ] && COMMON+=(--offset $offset)
 [ -n "$extra_flags" ] && COMMON+=($extra_flags)
 
 EDIT=(

@@ -156,3 +156,63 @@ def test_match_color_moments():
     d_new = abs(matched.mean() - target.mean())
     d_old = abs(style.mean() - target.mean())
     assert d_new < d_old
+
+
+def test_prune_palette_masks_padded_rows():
+    """Padded (all-zero) x_term rows must not bias the pruning means: with a
+    valid mask, the result equals pruning on the unpadded rows alone."""
+    params, active = laenerf_init(jax.random.PRNGKey(0), LCFG)
+    rng = np.random.RandomState(1)
+    real = rng.uniform(-1, 1, (48, 3)).astype(np.float32)
+    padded = np.concatenate([real, np.zeros((200, 3), np.float32)])
+    valid = np.concatenate([np.ones(48, bool), np.zeros(200, bool)])
+
+    ref_w_only_real = prune_palette(params, LCFG, active, [real], thresh=0.1)
+    masked = prune_palette(params, LCFG, active, [padded], thresh=0.1,
+                           valid_views=[valid])
+    assert bool(jnp.all(ref_w_only_real == masked))
+
+
+def test_laenerf_step_honors_crop_size():
+    """--crop_size != 256 must reach the style-loss resize (round-1 bug:
+    hardcoded 256 literal)."""
+    from laenerf_tpu.editing.style_trainer import (StyleLossWeights,
+                                                   laenerf_train_step,
+                                                   make_style_optimizer)
+    from laenerf_tpu.editing.vgg import vgg_init
+
+    params, active = laenerf_init(jax.random.PRNGKey(0), LCFG)
+    opt = make_style_optimizer()
+    opt_state = opt.init(params)
+    vgg_params, kinds, _ = vgg_init("vgg19", seed=1)
+    kinds = tuple(kinds)
+    weights = StyleLossWeights(style_weight=1.0, warmup_iterations=0)
+    H = W = 16
+    n = 32
+    rng = np.random.RandomState(0)
+    batch = {
+        "x_term": jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+        "dirs": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        "targets": jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        "valid": jnp.ones((n,), bool),
+        "inds": jnp.asarray(np.arange(n, dtype=np.int32)),
+        "crop_origin": jnp.zeros((2,), jnp.int32),
+    }
+    # gram targets must match the crop_size-resized feature maps' channel
+    # dims; build them by running random filters on a crop_size image
+    from laenerf_tpu.editing.style import gram_matrices
+    from laenerf_tpu.editing.vgg import normalize_imagenet, vgg_features
+
+    cs = 64
+    dummy = jnp.zeros((1, 3, cs, cs))
+    feats = vgg_features(vgg_params, kinds, dummy, (1, 3))
+    gts = [jnp.zeros_like(g) for g in gram_matrices(feats)]
+
+    new_params, _, aux = laenerf_train_step(
+        params, opt_state, active, batch, jax.random.PRNGKey(2),
+        cfg=LCFG, weights=weights, optimizer=opt, H=H, W=W,
+        crop_h=8, crop_w=8, use_style=True, past_warmup=True,
+        vgg_params=vgg_params, vgg_kinds=kinds, style_layers=(1, 3),
+        gram_targets=gts, crop_size=cs,
+    )
+    assert np.isfinite(float(aux["loss"]))
