@@ -5,8 +5,8 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q --ignore=tests/test_pipeline.py \
-	  --ignore=tests/test_npr.py --ignore=tests/test_train_integration.py
+	python -m pytest tests/ -q -m "not slow"
+
 
 bench:
 	python bench.py

@@ -110,6 +110,12 @@ def build_parser():
     p.add_argument("--palette_mod", type=str, default=None,
                    help="npz with 'palette' [K,3]: user-recolored palette")
 
+    # distributed (SURVEY.md §2.3: the reference's DDP equivalent; multi-host
+    # DCN is handled by jax.distributed, intra-host by the data mesh)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (reads coordinator/"
+                        "process env vars; run one process per host)")
+
     # mesh
     p.add_argument("--save_mesh", action="store_true")
     p.add_argument("--mesh_resolution", type=int, default=256)
@@ -146,6 +152,14 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", os.environ["LAENERF_PLATFORM"])
+
+    if opt.multihost:
+        # DCN process group for multi-host meshes (the NCCL-DDP analogue,
+        # nerf/utils.py:379-383). Coordinator address/process count come
+        # from the standard JAX env vars or the cluster plugin.
+        import jax
+
+        jax.distributed.initialize()
 
     from ..utils import enable_compilation_cache
 

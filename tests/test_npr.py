@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
 from laenerf_tpu.editing import SemanticEncoder, StyleLossWeights
 from laenerf_tpu.models import NeRFConfig, RenderConfig

@@ -11,6 +11,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
 from laenerf_tpu.editing import EditGrid, StyleLossWeights
 from laenerf_tpu.models import NeRFConfig, RenderConfig

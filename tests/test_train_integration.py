@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
 from laenerf_tpu.models import NeRFConfig, RenderConfig
 from laenerf_tpu.parallel import dp_train_step, make_mesh
