@@ -111,14 +111,21 @@ def hashgrid_init(key, spec: HashGridSpec, dtype=jnp.float32):
     )
 
 
+# Below this many update rows the XLA flat scatter wins (kernel launch +
+# sort overheads dominate); above it the Pallas work-list kernel is ~4.7x
+# faster (48 vs 227 ms at the 2M-row training shape, see ops/scatter_add.py).
+_PALLAS_SCATTER_MIN_ROWS = 1 << 16
+
+
 @jax.custom_vjp
 def _gather_rows(table, idx):
-    """Row gather with a flat-scalar scatter-add backward.
+    """Row gather with a custom scatter-add backward.
 
-    XLA's TPU scatter of multi-element rows serializes (~92ns/update
-    measured on v5e); flattening to scalar updates is ~3.7x faster. The
-    reference instead uses half-precision atomicAdd (gridencoder.cu:323-338)
-    — fp32 accumulation here is strictly more precise.
+    The reference accumulates with half-precision atomicAdd
+    (gridencoder.cu:323-338). Here the backward is either a flat-scalar XLA
+    scatter (CPU / small batches) or the sorted work-list MXU kernel in
+    ops/scatter_add.py (TPU training shapes) — both accumulate in fp32,
+    strictly more precise than fp16 atomics.
     """
     return jnp.take(table, idx, axis=0)
 
@@ -128,11 +135,17 @@ def _gather_rows_fwd(table, idx):
 
 
 def _gather_rows_bwd(res, g):
+    from .scatter_add import scatter_add_rows, scatter_add_rows_xla
+
     idx, (T, C) = res
-    flat_idx = (idx[..., None].astype(jnp.int32) * C
-                + jnp.arange(C, dtype=jnp.int32)).reshape(-1)
-    grad = jnp.zeros((T * C,), g.dtype).at[flat_idx].add(g.reshape(-1))
-    return grad.reshape(T, C), None
+    q = idx.reshape(-1).astype(jnp.int32)
+    g2 = g.reshape(-1, C)
+    if (jax.default_backend() == "tpu"
+            and q.shape[0] >= _PALLAS_SCATTER_MIN_ROWS):
+        grad = scatter_add_rows(q, g2, T)
+    else:
+        grad = scatter_add_rows_xla(q, g2, T)
+    return grad.astype(g.dtype), None
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

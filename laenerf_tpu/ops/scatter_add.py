@@ -1,0 +1,173 @@
+"""Row scatter-add, redesigned for TPU: sort + work-list one-hot matmuls.
+
+TPU-native replacement for the reference's atomicAdd gradient accumulation
+(/root/reference/gridencoder/src/gridencoder.cu:323-338). XLA's TPU scatter
+serializes at ~10-14 ns/scalar regardless of sorted/unique flags (measured,
+perf/microbench_scatter2.py), which made the hash-encoder backward ~60% of
+the train step in round 1. This op reformulates scatter-add as dense MXU
+work:
+
+  1. sort updates by destination row (radix argsort, ~0.3 ns/elem),
+  2. cut the destination table into TILE-row tiles and the sorted update
+     stream into MAXU-row blocks; build a *work list* of (tile, block)
+     pairs — exact for any skew, no overflow/rescue path,
+  3. a Pallas kernel iterates the work list: scalar-prefetched index maps
+     pipeline each update block into VMEM, and a one-hot matmul
+     (rows == local ids) accumulates the block into the resident output
+     tile. The MXU performs the conflict resolution that atomics do on GPU.
+
+Measured on v5e at the production shape (2.1M updates x 8ch into a 2.9M-row
+table): 227 ms (XLA scatter) -> ~48 ms end-to-end.
+
+Precision: "bf16" rounds each update row to bf16 before the f32-accumulating
+matmul (strictly better than the reference's fp16 atomic accumulation);
+"f32" splits updates into bf16 hi/lo parts and uses two matmuls (~1e-6 rel).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 2048  # table rows per output tile
+MAXU = 2048  # updates per input block
+N_GRP = MAXU // 128
+
+
+def _kernel(wt_ref, wb_ref, wflag_ref, qs_ref, gs_ref, out_ref, *,
+            split: bool):
+    """One work item: accumulate update block wb into table tile wt.
+
+    wflag bit 0: first work item of this tile (zero the accumulator).
+    wflag bit 1: real work (padding items skip compute).
+    """
+    w = pl.program_id(0)
+    base = wt_ref[w] * TILE
+    flag = wflag_ref[w]
+
+    @pl.when(flag & 1 == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(flag & 2 == 2)
+    def _():
+        local = qs_ref[:] - base  # [N_GRP, 128] int32
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0)
+        C = out_ref.shape[1]
+        acc = jnp.zeros((TILE, C), jnp.float32)
+        for grp in range(N_GRP):
+            oh = (row_iota == local[grp, :][None, :]).astype(jnp.bfloat16)
+            blk = gs_ref[grp * 128:(grp + 1) * 128, :]
+            if split:
+                hi = blk.astype(jnp.bfloat16)
+                lo = (blk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = acc + jnp.dot(oh, hi,
+                                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(oh, lo,
+                                    preferred_element_type=jnp.float32)
+            else:
+                acc = acc + jnp.dot(oh, blk,
+                                    preferred_element_type=jnp.float32)
+        out_ref[:] += acc
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call(q_blks: int, n_tiles: int, w_cap: int, c: int, split: bool,
+               interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(w_cap,),
+        in_specs=[
+            pl.BlockSpec((N_GRP, 128), lambda w, wt, wb, wf: (wb[w], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAXU, c), lambda w, wt, wb, wf: (wb[w], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c), lambda w, wt, wb, wf: (wt[w], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, split=split),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, c), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def scatter_add_rows(idx, g, table_rows: int, *, precision: str = "bf16",
+                     interpret: bool = None):
+    """grad[t, c] = sum over updates q with idx[q] == t of g[q, c].
+
+    Args:
+      idx: [Q] int32 destination rows, any order/duplication.
+      g: [Q, C] float32 update rows.
+      table_rows: T, number of output rows.
+      precision: "bf16" (update rows rounded to bf16; f32 accumulation) or
+        "f32" (hi/lo-split matmuls, ~1e-6 relative error).
+      interpret: force Pallas interpreter (defaults to True off-TPU so tests
+        run on CPU).
+    Returns:
+      [T, C] float32 accumulated gradient.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Q, C = g.shape[0], g.shape[1]
+    T_pad = ((table_rows + TILE - 1) // TILE) * TILE
+    n_tiles = T_pad // TILE
+    q_blks = (Q + MAXU - 1) // MAXU + 1
+    # every tile needs >= 1 item; straddling adds <= 1 block per tile
+    w_cap = 2 * n_tiles + (Q + MAXU - 1) // MAXU + 8
+
+    order = jnp.argsort(idx.astype(jnp.int32))
+    qs = jnp.take(idx.astype(jnp.int32), order)
+    if precision == "bf16":
+        gs = jnp.take(g.astype(jnp.bfloat16), order, axis=0)
+        pad_dtype = jnp.bfloat16
+    else:
+        gs = jnp.take(g.astype(jnp.float32), order, axis=0)
+        pad_dtype = jnp.float32
+
+    pad = q_blks * MAXU - Q
+    sentinel = jnp.int32(T_pad + 7)
+    qs_p = jnp.concatenate([qs, jnp.full((pad,), sentinel, jnp.int32)])
+    gs_p = jnp.concatenate([gs, jnp.zeros((pad, C), pad_dtype)])
+
+    # per-tile sorted ranges and their block spans
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
+    lo = jnp.searchsorted(qs, bounds).astype(jnp.int32)
+    cnt = lo[1:] - lo[:-1]
+    blk_lo = lo[:-1] // MAXU
+    blk_hi = (jnp.maximum(lo[1:], 1) - 1) // MAXU
+    n_work = jnp.where(cnt > 0, blk_hi - blk_lo + 1, 1)
+    cum = jnp.cumsum(n_work)
+    total = cum[-1]
+
+    w_ids = jnp.arange(w_cap, dtype=jnp.int32)
+    wt = jnp.searchsorted(cum, w_ids, side="right").astype(jnp.int32)
+    wt = jnp.minimum(wt, n_tiles - 1)
+    w_off = w_ids - jnp.where(wt > 0, jnp.take(cum, wt - 1), 0)
+    in_range = w_ids < total
+    wreal = in_range & (jnp.take(cnt, wt) > 0)
+    wfirst = (w_off == 0) & in_range
+    wflag = (wfirst.astype(jnp.int32) + 2 * wreal.astype(jnp.int32))
+    wb = jnp.where(wreal, jnp.take(blk_lo, wt) + w_off, q_blks - 1)
+    wb = jnp.clip(wb, 0, q_blks - 1).astype(jnp.int32)
+
+    call = _make_call(q_blks, n_tiles, w_cap, C, precision != "bf16",
+                      bool(interpret))
+    grad = call(wt, wb, wflag,
+                qs_p.reshape(q_blks * N_GRP, 128), gs_p)
+    return grad[:table_rows]
+
+
+def scatter_add_rows_xla(idx, g, table_rows: int):
+    """Plain XLA flat-scalar scatter-add (round-1 path; CPU/fallback)."""
+    C = g.shape[1]
+    flat = (idx[:, None].astype(jnp.int32) * C
+            + jnp.arange(C, dtype=jnp.int32)).reshape(-1)
+    grad = jnp.zeros((table_rows * C,), jnp.float32).at[flat].add(
+        g.reshape(-1).astype(jnp.float32))
+    return grad.reshape(table_rows, C)
