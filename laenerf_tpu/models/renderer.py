@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.compaction import compact_samples, gather_flat, scatter_back  # noqa: F401
 from ..ops.composite import composite_chunk, composite_rays_train
-from ..ops.raymarch import (MarchConfig, _march_event, build_coarse_occupancy,
+from ..ops.raymarch import (MarchConfig, _march_event, build_skip_field,
                             march_rays_train, near_far_from_aabb,
                             sample_positions, sph_from_ray)
 from .nerf import NeRFConfig, nerf_background, nerf_forward
@@ -117,11 +117,16 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     xyz_flat = xyz.reshape(N * S, 3)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3)).reshape(N * S, 3)
 
+    # Two capacity tiers only. Overflowing samples are truncated and the
+    # ray composites its *prefix* — exactly the reference's behavior when
+    # the mean_count-sized sample buffer fills early in training
+    # (raymarching/raymarching.py:198-203): partial rays still supervise
+    # the near content, and random ray sampling rotates which rays
+    # truncate. This replaces round 1's N*S/4 top tier, which made every
+    # pre-pruning step pay a 4x network eval.
     base_cap = N * render_cfg.m_cap_per_ray
-    # the top tier covers the dense early-training phase (grid not yet
-    # pruned): generous enough that drops are rare before pruning kicks in
-    top_cap = max(base_cap, (N * S) // 4)
-    caps = sorted({max(base_cap // 4, 1024), base_cap, top_cap})
+    caps = sorted({max(base_cap // 4, 1024), max(base_cap // 2, 2048),
+                   base_cap})
     n_valid = jnp.sum(valid)
     bucket = jnp.minimum(
         jnp.searchsorted(jnp.array(caps), n_valid, side="left"),
@@ -144,19 +149,20 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
             sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
             sig = scatter_back(sigmas_c[:, None], dest, (N, S))[..., 0]
             rgb = scatter_back(rgbs_c, dest, (N, S))
-            # rays with any capacity-dropped sample would composite wrongly;
-            # flag them so the loss can mask them out (random ray sampling
-            # rotates which rays overflow, so no ray starves)
+            # truncate capacity-dropped samples: the ray composites only
+            # its evaluated prefix (within-ray order is preserved by the
+            # flat-order compaction, so drops are a per-ray suffix)
+            valid_eval = valid & (dest < m_cap)
             ray_ok = ~jnp.any(valid & (dest >= m_cap), axis=1)
-            return sig, rgb, ray_ok
+            return sig, rgb, valid_eval, ray_ok
         return fn
 
-    sigmas, rgbs, ray_ok = jax.lax.switch(
+    sigmas, rgbs, valid_eval, ray_ok = jax.lax.switch(
         bucket, [eval_at_cap(c) for c in caps], None
     )
 
     weights_sum, depth, image = composite_rays_train(
-        sigmas, rgbs, dts, ts, valid, march["t0"], render_cfg.t_thresh
+        sigmas, rgbs, dts, ts, valid_eval, march["t0"], render_cfg.t_thresh
     )
     bg = _background(params, model_cfg, rays_o, rays_d, bg_color)
     image = image + (1.0 - weights_sum)[:, None] * bg
@@ -255,14 +261,13 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
               else jnp.zeros((N,), jnp.float32))
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
-    grid_flat = occupancy.reshape(-1)
-    coarse_flat = build_coarse_occupancy(occupancy).reshape(-1)
+    skip_flat = build_skip_field(occupancy).reshape(-1)
 
     def march_round(t):
         """March K events for every ray; returns per-round padded samples."""
         def step(tc, _):
             t_next, (ts_s, dt_s, occ, _) = _march_event(
-                tc, rays_o, rays_d, grid_flat, None, cfg, coarse_flat
+                tc, rays_o, rays_d, skip_flat, None, cfg
             )
             done = tc >= fars
             t_next = jnp.where(done, tc, t_next)
@@ -343,14 +348,13 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
     march_src = edit_grid if grow_grid else occupancy
-    march_grid = march_src.reshape(-1)
-    coarse_flat = build_coarse_occupancy(march_src).reshape(-1)
+    skip_flat = build_skip_field(march_src).reshape(-1)
     edit_flat = edit_grid.reshape(-1)
 
     def march_round(t):
         def step(tc, _):
             t_next, (ts_s, dt_s, occ, eocc) = _march_event(
-                tc, rays_o, rays_d, march_grid, edit_flat, cfg, coarse_flat
+                tc, rays_o, rays_d, skip_flat, edit_flat, cfg
             )
             done = tc >= fars
             t_next = jnp.where(done, tc, t_next)

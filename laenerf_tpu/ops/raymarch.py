@@ -123,6 +123,9 @@ def build_coarse_occupancy(occupancy):
     8^3-voxel block instead of a single voxel. A coarse cell is occupied iff
     any fine cell inside it is, so skips never jump over occupied space and
     sample positions are unchanged (skips stay on the dt lattice).
+
+    Kept for serialization parity/tests; the march now uses the stronger
+    build_skip_field.
     """
     f = COARSE_FACTOR
     cas, H = occupancy.shape[0], occupancy.shape[1]
@@ -131,18 +134,68 @@ def build_coarse_occupancy(occupancy):
     )
 
 
-def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig,
-                 coarse_flat=None):
-    """One march event per ray: sample if occupied, else skip the fine voxel
-    (or the whole coarse block when it is empty).
+SKIP_LEVELS = 7  # max safe jump = 2^(SKIP_LEVELS-1) - 1 = 63 cells
+
+
+def build_skip_field(occupancy):
+    """Chebyshev distance-to-surface field for empty-space skipping.
+
+    Replaces the coarse block grid: field[c] == 0 means cell c is occupied;
+    field[c] == k >= 1 guarantees every cell within L-inf radius
+    (2^(k-1) - 1) of c is free, so a ray at c may safely advance
+    (2^(k-1) - 1) cell widths in ANY direction in one march event — one
+    gather buys an exponentially sized jump deep in empty space, while the
+    conservative bound keeps sample positions bit-identical to per-voxel
+    marching (the property the reference's bitfield march has,
+    raymarching.cu:380-399).
+
+    Built by doubling dilation: D_0 = occ, D_{j+1} = 3-point max of D_j
+    shifted by ±2^j per axis (radius 2^{j+1} - 1) — ~3*SKIP_LEVELS cheap
+    vectorized passes over the grid, no transcendentals, run inside jit.
+    Returns int8 [CAS, H, H, H].
+    """
+    occ = (occupancy > 0).astype(jnp.int8)
+    field = jnp.where(occ > 0, jnp.int8(0), jnp.int8(1))
+
+    def dilate_axis(d, axis, r):
+        r = min(r, d.shape[axis])  # shift >= H pushes everything out
+        lo = jnp.concatenate(
+            [d[tuple(slice(None) if a != axis else slice(r, None)
+                     for a in range(4))],
+             jnp.zeros([s if a != axis else r
+                        for a, s in enumerate(d.shape)], d.dtype)],
+            axis=axis)
+        hi = jnp.concatenate(
+            [jnp.zeros([s if a != axis else r
+                        for a, s in enumerate(d.shape)], d.dtype),
+             d[tuple(slice(None) if a != axis else slice(None, -r)
+                     for a in range(4))]],
+            axis=axis)
+        return jnp.maximum(d, jnp.maximum(lo, hi))
+
+    d = occ
+    for j in range(SKIP_LEVELS - 1):
+        r = 1 << j
+        for axis in (1, 2, 3):
+            d = dilate_axis(d, axis, r)
+        # free of any occupied cell within radius 2^{j+1}-1 -> bump level
+        field = jnp.where((d == 0) & (field > 0), jnp.int8(j + 2), field)
+    return field
+
+
+def _march_event(t, rays_o, rays_d, skip_flat, edit_flat, cfg: MarchConfig):
+    """One march event per ray: sample if occupied, else jump as far as the
+    distance field allows (at least past the current fine voxel).
+
+    ONE gather per event: skip_flat encodes occupancy (0) and the safe
+    chebyshev jump level (>= 1) together (build_skip_field).
 
     Args:
       t: [N] current ray parameter.
       rays_o, rays_d: [N, 3].
-      grid_flat: [CAS*H*H*H] uint8 occupancy (density grid bitfield, unpacked).
-      edit_flat: optional second grid of the same shape (distill path), or None.
+      skip_flat: [CAS*H*H*H] int8 skip field from build_skip_field.
+      edit_flat: optional uint8 grid of the same shape (distill path), or None.
       cfg: static config.
-      coarse_flat: optional [CAS*(H/8)^3] uint8 coarse occupancy.
     Returns:
       (t_next, sample) where sample = (ts, dt, occ, edit_occ) all [N].
     """
@@ -177,7 +230,8 @@ def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig,
         flat_idx = (nx * H + ny) * H + nz
     else:
         flat_idx = ((level * H + nx) * H + ny) * H + nz
-    occ = jnp.take(grid_flat, flat_idx, axis=0) > 0
+    f = jnp.take(skip_flat, flat_idx, axis=0).astype(jnp.int32)
+    occ = f == 0
     edit_occ = (
         jnp.take(edit_flat, flat_idx, axis=0) > 0 if edit_flat is not None
         else jnp.zeros_like(occ)
@@ -187,27 +241,17 @@ def _march_event(t, rays_o, rays_d, grid_flat, edit_flat, cfg: MarchConfig,
     sgn = jnp.sign(rays_d)
     pos = jnp.stack([x, y, z], axis=-1)
 
-    def boundary_t(cells, grid_h):
-        """Distance to the exit face of the current cell on a grid_h grid."""
-        c = cells.astype(jnp.float32)
-        tv = (((c + 0.5 + 0.5 * sgn) * (2.0 / grid_h) - 1.0)
-              * mip_bound[:, None] - pos) * rd
-        return t + jnp.maximum(0.0, jnp.min(tv, axis=-1))
+    # exit face of the current fine cell (minimum safe skip)
+    c = jnp.stack([nx, ny, nz], -1).astype(jnp.float32)
+    tv = (((c + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0)
+          * mip_bound[:, None] - pos) * rd
+    tt_fine = t + jnp.maximum(0.0, jnp.min(tv, axis=-1))
 
-    tt_fine = boundary_t(jnp.stack([nx, ny, nz], -1), H)
-    if coarse_flat is not None:
-        f = COARSE_FACTOR
-        Hc = H // f
-        cx, cy, cz = nx // f, ny // f, nz // f
-        if single_level:
-            cidx = (cx * Hc + cy) * Hc + cz
-        else:
-            cidx = ((level * Hc + cx) * Hc + cy) * Hc + cz
-        occ_c = jnp.take(coarse_flat, cidx, axis=0) > 0
-        tt_coarse = boundary_t(jnp.stack([cx, cy, cz], -1), Hc)
-        tt = jnp.where(occ_c, tt_fine, tt_coarse)
-    else:
-        tt = tt_fine
+    # distance-field jump: field level f guarantees (2^(f-1) - 1) free
+    # cells in every direction
+    m = (jnp.left_shift(1, jnp.maximum(f - 1, 0)) - 1).astype(jnp.float32)
+    cell_world = (2.0 / H) * mip_bound
+    tt = jnp.maximum(tt_fine, t + m * cell_world)
 
     # jump on the dt lattice (exact for gamma == 0; self-correcting
     # otherwise: a short jump just re-skips next event)
@@ -253,15 +297,17 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
       n_samples: [N] int32 number of valid samples per ray.
       edit_occ: [N, S] bool (all False unless with_edit).
     """
-    grid_flat = occupancy.reshape(-1)
-    coarse_flat = build_coarse_occupancy(occupancy).reshape(-1)
+    skip_flat = build_skip_field(occupancy).reshape(-1)
     edit_flat = edit_grid.reshape(-1) if with_edit else None
 
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
+    N = rays_o.shape[0]
+    S = cfg.march_iters
+
     def step(t, _):
-        t_next, sample = _march_event(t, rays_o, rays_d, grid_flat, edit_flat,
-                                      cfg, coarse_flat)
+        t_next, sample = _march_event(t, rays_o, rays_d, skip_flat, edit_flat,
+                                      cfg)
         # Freeze rays that have left the volume.
         done = t >= fars
         t_next = jnp.where(done, t, t_next)
@@ -269,9 +315,43 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
         occ = occ & ~done
         return t_next, (ts, dt, occ, eocc)
 
-    _, (ts, dts, occs, eoccs) = jax.lax.scan(
-        step, t0, None, length=cfg.march_iters, unroll=2
-    )
+    # The event budget S covers the worst-case ray; typical batches exhaust
+    # [near, far] in far fewer events, so march in blocks inside a
+    # while_loop that exits once every ray is done (the reference's per-ray
+    # while loop, raymarching.cu:345-430, amortized over the batch).
+    blk = 32 if S % 32 == 0 and S > 32 else S
+    n_blocks = S // blk
+
+    def block_scan(t):
+        return jax.lax.scan(step, t, None, length=blk, unroll=2)
+
+    if n_blocks == 1:
+        _, (ts, dts, occs, eoccs) = block_scan(t0)
+    else:
+        init = (
+            t0, jnp.zeros((), jnp.int32),
+            jnp.zeros((S, N), t0.dtype), jnp.zeros((S, N), t0.dtype),
+            jnp.zeros((S, N), jnp.bool_), jnp.zeros((S, N), jnp.bool_),
+        )
+
+        def cond(c):
+            t, b = c[0], c[1]
+            return (b < n_blocks) & jnp.any(t < fars)
+
+        def body(c):
+            t, b, ts_b, dts_b, occ_b, eocc_b = c
+            t_new, (ts, dt, occ, eocc) = block_scan(t)
+            at = (b * blk, 0)
+            return (
+                t_new, b + 1,
+                jax.lax.dynamic_update_slice(ts_b, ts, at),
+                jax.lax.dynamic_update_slice(dts_b, dt, at),
+                jax.lax.dynamic_update_slice(occ_b, occ, at),
+                jax.lax.dynamic_update_slice(eocc_b, eocc, at),
+            )
+
+        _, _, ts, dts, occs, eoccs = jax.lax.while_loop(cond, body, init)
+
     # [I, N] -> [N, I]; the event axis is already t-ordered per ray.
     ts, dts = ts.T, dts.T
     occs, eoccs = occs.T, eoccs.T

@@ -121,8 +121,10 @@ def scatter_add_rows(idx, g, table_rows: int, *, precision: str = "bf16",
     # every tile needs >= 1 item; straddling adds <= 1 block per tile
     w_cap = 2 * n_tiles + (Q + MAXU - 1) // MAXU + 8
 
-    order = jnp.argsort(idx.astype(jnp.int32))
-    qs = jnp.take(idx.astype(jnp.int32), order)
+    # one sort yields both the sorted keys and the permutation (argsort +
+    # take(q) would run the same sort and then pay a 2M-row gather again)
+    qs, order = jax.lax.sort_key_val(
+        idx.astype(jnp.int32), jnp.arange(Q, dtype=jnp.int32))
     if precision == "bf16":
         gs = jnp.take(g.astype(jnp.bfloat16), order, axis=0)
         pad_dtype = jnp.bfloat16

@@ -85,10 +85,10 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
                                 model_cfg=model_cfg, render_cfg=render_cfg,
                                 bg_color=bg, perturb=True)
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
-        # rays whose samples were capacity-dropped composite wrongly; mask
-        # them out (their slots rotate with the random ray sampling)
-        ok = out["ray_ok"].astype(jnp.float32)
-        loss = jnp.sum(per_ray * ok) / jnp.maximum(jnp.sum(ok), 1.0)
+        # capacity-truncated rays composite their evaluated prefix (the
+        # reference's buffer-overflow behavior, raymarching.py:198-203), so
+        # the plain MSE over all rays matches utils.py:563-585
+        loss = jnp.mean(per_ray)
         if distill and depth_target is not None:
             dw = (depth_target > 0).astype(jnp.float32)
             dloss = jnp.mean(
@@ -382,6 +382,10 @@ class Trainer:
             rays_o = jnp.concatenate([rays_o, rays_o[:pad]], axis=0)
             rays_d = jnp.concatenate([rays_d, rays_d[:pad]], axis=0)
         stats = os.environ.get("LAENERF_RENDER_STATS")
+        # dispatch every chunk asynchronously (device arrays only) and fetch
+        # once at the end — a per-chunk np.asarray would insert a ~30 ms
+        # tunnel round-trip bubble between chunks (the XLA analogue of the
+        # reference's stream pipelining)
         for s in range(0, n + pad, chunk):
             t0 = time.time()
             out = render_rays_infer(
@@ -390,13 +394,14 @@ class Trainer:
                 model_cfg=self.model_cfg, render_cfg=self.render_cfg,
                 bg_color=bg_color,
             )
-            imgs.append(np.asarray(out["image"]))
-            depths.append(np.asarray(out["depth"]))
+            imgs.append(out["image"])
+            depths.append(out["depth"])
             if stats:
+                jax.block_until_ready(out["image"])
                 print(f"# chunk {s // chunk}: {time.time() - t0:.3f}s "
                       f"rounds={int(out['rounds'])}", flush=True)
-        img = np.concatenate(imgs, axis=0)[:n].reshape(H, W, 3)
-        depth = np.concatenate(depths, axis=0)[:n].reshape(H, W)
+        img = np.asarray(jnp.concatenate(imgs, axis=0)[:n]).reshape(H, W, 3)
+        depth = np.asarray(jnp.concatenate(depths, axis=0)[:n]).reshape(H, W)
         return img, depth
 
     def evaluate(self, dataset, max_views: Optional[int] = None):
