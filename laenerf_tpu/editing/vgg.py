@@ -147,11 +147,16 @@ def lpips_fn():
     params, kinds, pretrained = vgg_init("vgg16")
     if not pretrained:
         raise RuntimeError("LPIPS requires local vgg16 weights")
-    layers = (3, 8, 15, 22, 29)  # relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+    # (layer index, pools before it): relu1_2..relu5_3
+    all_layers = ((3, 0), (8, 1), (15, 2), (22, 3), (29, 4))
 
     @jax.jit
     def dist(a, b):
-        # a, b: [H, W, 3] in [0, 1]
+        # a, b: [H, W, 3] in [0, 1]; drop layers whose pooled spatial size
+        # would collapse below 2px for small patches (shape is static)
+        size = min(a.shape[0], a.shape[1])
+        layers = tuple(l for l, p in all_layers if size >> (p + 1) >= 1)
+
         def prep(x):
             x = jnp.moveaxis(x, -1, 0)
             return normalize_imagenet(x)[None]

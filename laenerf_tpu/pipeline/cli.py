@@ -173,7 +173,7 @@ def main(argv=None):
     trainer = Trainer(
         workspace, model_cfg, render_cfg, lr=opt.lr, iters=opt.iters,
         update_interval=opt.update_extra_interval, seed=opt.seed,
-        eval_chunk=opt.eval_chunk,
+        eval_chunk=opt.eval_chunk, patch_size=opt.patch_size,
     )
 
     def load_split(split, required=True):

@@ -192,6 +192,10 @@ class EditPipeline:
                     "train_steps_distill": cfg.train_steps_distill,
                     "preserve_color": cfg.preserve_color,
                     "warmup_iterations": cfg.weights.warmup_iterations,
+                    # degraded-mode marker: random VGG filters were used for
+                    # the Gram losses (no local pretrained npz found)
+                    "vgg_pretrained": bool(style_network.pretrained)
+                    if style_network is not None else None,
                 },
             }, f, indent=2)
         with open(os.path.join(self.workspace, "opt.json"), "w") as f:

@@ -191,7 +191,7 @@ class Trainer:
                  iters: int = 30000, ema_decay: float = 0.95,
                  update_interval: int = 16, bg_white: bool = False,
                  eval_chunk: int = 16384, seed: int = 0, name: str = "ngp",
-                 max_keep_ckpt: int = 2):
+                 max_keep_ckpt: int = 2, patch_size: int = 1):
         self.workspace = workspace
         os.makedirs(workspace, exist_ok=True)
         self.model_cfg = model_cfg
@@ -219,6 +219,18 @@ class Trainer:
         self.log_path = os.path.join(workspace, "log.txt")
         self.global_step = 0
         self.stats = {"loss": [], "psnr": []}
+        # patch-mode perceptual loss (utils.py:595-603): active only when
+        # rays are sampled as patches AND local VGG weights exist; degrades
+        # to None otherwise (vgg.py docstring)
+        self.patch_lpips_fn = None
+        if patch_size > 1:
+            try:
+                from ..editing.vgg import lpips_fn
+
+                self.patch_lpips_fn = lpips_fn()
+            except Exception:
+                self.log("[warn] patch LPIPS loss disabled "
+                         "(no local VGG16 weights)")
         # tensorboard scalars (the reference logs train/eval via tensorboardX,
         # utils.py:747-748,1492-1494)
         try:
@@ -278,6 +290,7 @@ class Trainer:
             render_cfg=self.render_cfg, optimizer=self.optimizer,
             ema_decay=self.ema_decay, has_alpha=has_alpha,
             bg_white=self.bg_white, H=batch["H"], W=batch["W"],
+            patch_lpips_fn=self.patch_lpips_fn,
         )
         self.global_step += 1
         return aux
@@ -299,6 +312,7 @@ class Trainer:
             ema_decay=self.ema_decay, has_alpha=has_alpha,
             bg_white=self.bg_white, H=batch["H"], W=batch["W"],
             distill=True, depth_target=depth_target,
+            patch_lpips_fn=self.patch_lpips_fn,
         )
         self.global_step += 1
         return aux
@@ -405,8 +419,11 @@ class Trainer:
         return img, depth
 
     def evaluate(self, dataset, max_views: Optional[int] = None):
-        """PSNR/SSIM over a dataset split (utils.py:1526-1624)."""
-        pm, sm = psnr_meter(), ssim_meter()
+        """PSNR/SSIM/LPIPS over a dataset split (utils.py:1526-1624); LPIPS
+        activates automatically when local VGG weights exist."""
+        from .metrics import LPIPSMeter
+
+        pm, sm, lm = psnr_meter(), ssim_meter(), LPIPSMeter()
         n = len(dataset) if max_views is None else min(max_views, len(dataset))
         for i in range(n):
             img, _ = self.render_image(dataset.poses[i], dataset.intrinsics,
@@ -416,10 +433,13 @@ class Trainer:
                 gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
             pm.update(img, gt)
             sm.update(img, gt)
-        self.log(f"[eval] {pm.report()} | {sm.report()}")
+            lm.update(img, gt)
+        self.log(f"[eval] {pm.report()} | {sm.report()} | {lm.report()}")
         self.stats["psnr"].append(pm.measure())
         self.log_scalar("eval/psnr", pm.measure())
         self.log_scalar("eval/ssim", sm.measure())
+        if lm.available:
+            self.log_scalar("eval/lpips", lm.measure())
         return pm.measure()
 
     # ------------------------------------------------------------------
