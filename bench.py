@@ -48,7 +48,7 @@ def main():
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
                               m_cap_per_ray=16, density_thresh=10.0,
-                              infer_chunk_events=32)
+                              infer_chunk_events=16, infer_compact_factor=4)
     tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
                  eval_chunk=32768)
     tr.mark_untrained(ds)

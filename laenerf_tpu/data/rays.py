@@ -11,6 +11,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("H", "W"))
@@ -49,3 +50,31 @@ def pixel_rays(pose, intrinsics, H: int, W: int, dir_offset=None):
     """Rays for every pixel of an HxW image (eval path)."""
     inds = jnp.arange(H * W, dtype=jnp.int32)
     return get_rays(pose, intrinsics, inds, H, W, dir_offset)
+
+
+_TILE_ORDER_CACHE = {}
+
+
+def tile_raster_order(H: int, W: int, tile: int = 128):
+    """Pixel permutation grouping HxW into tile x tile blocks (row-major
+    within and across tiles).
+
+    Rendering chunks in tile order instead of scanline order makes every
+    chunk spatially coherent: background tiles retire after one march
+    round and object tiles share termination depth, so the lockstep
+    while_loop wastes far fewer events on the slowest ray (the batched
+    analogue of the reference's alive-ray compaction benefit). Returns
+    (order, inverse) int32 arrays of length H*W.
+    """
+    key = (H, W, tile)
+    if key not in _TILE_ORDER_CACHE:
+        idx = np.arange(H * W, dtype=np.int32).reshape(H, W)
+        blocks = []
+        for ty in range(0, H, tile):
+            for tx in range(0, W, tile):
+                blocks.append(idx[ty:ty + tile, tx:tx + tile].reshape(-1))
+        order = np.concatenate(blocks)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(H * W, dtype=np.int32)
+        _TILE_ORDER_CACHE[key] = (order, inv)
+    return _TILE_ORDER_CACHE[key]

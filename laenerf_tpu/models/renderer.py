@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.compaction import compact_samples, gather_flat, scatter_back  # noqa: F401
 from ..ops.composite import composite_chunk, composite_rays_train
-from ..ops.raymarch import (MarchConfig, _march_event, build_skip_field,
+from ..ops.raymarch import (MarchConfig, build_skip_field, make_march_event,
                             march_rays_train, near_far_from_aabb,
                             sample_positions, sph_from_ray)
 from .nerf import NeRFConfig, nerf_background, nerf_forward
@@ -45,12 +45,13 @@ class RenderConfig:
     # train path shapes: march_iters is the padded event/sample width S
     march_iters: int = 256
     m_cap_per_ray: int = 32  # M_cap = N * this (mean_count analogue)
-    # inference path shapes
+    # inference path shapes (swept on v5e: K=16/factor=4 with tile-ordered
+    # 16-32k chunks maximizes rays/s, perf/profile_render.py)
     infer_chunk_events: int = 16  # K march events per while_loop round
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
-    infer_compact_factor: int = 2
+    infer_compact_factor: int = 4
 
     @property
     def march_cfg(self) -> MarchConfig:
@@ -262,13 +263,12 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
     skip_flat = build_skip_field(occupancy).reshape(-1)
+    event = make_march_event(rays_o, rays_d, skip_flat, None, cfg)
 
     def march_round(t):
         """March K events for every ray; returns per-round padded samples."""
         def step(tc, _):
-            t_next, (ts_s, dt_s, occ, _) = _march_event(
-                tc, rays_o, rays_d, skip_flat, None, cfg
-            )
+            t_next, (ts_s, dt_s, occ, _) = event(tc)
             done = tc >= fars
             t_next = jnp.where(done, tc, t_next)
             return t_next, (ts_s, dt_s, occ & ~done)
@@ -350,12 +350,11 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
     march_src = edit_grid if grow_grid else occupancy
     skip_flat = build_skip_field(march_src).reshape(-1)
     edit_flat = edit_grid.reshape(-1)
+    event = make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg)
 
     def march_round(t):
         def step(tc, _):
-            t_next, (ts_s, dt_s, occ, eocc) = _march_event(
-                tc, rays_o, rays_d, skip_flat, edit_flat, cfg
-            )
+            t_next, (ts_s, dt_s, occ, eocc) = event(tc)
             done = tc >= fars
             t_next = jnp.where(done, tc, t_next)
             return t_next, (ts_s, dt_s, occ & ~done, eocc)

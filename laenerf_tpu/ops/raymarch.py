@@ -183,21 +183,17 @@ def build_skip_field(occupancy):
     return field
 
 
-def _march_event(t, rays_o, rays_d, skip_flat, edit_flat, cfg: MarchConfig):
-    """One march event per ray: sample if occupied, else jump as far as the
-    distance field allows (at least past the current fine voxel).
+def make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg: MarchConfig):
+    """Build the per-event march closure with per-ray invariants hoisted.
+
+    The event runs hundreds of times per ray inside scans; everything that
+    depends only on the ray (1/d, sign bias) or on static config (cell
+    scale, dt for gamma == 0) is computed once here instead of per event.
 
     ONE gather per event: skip_flat encodes occupancy (0) and the safe
     chebyshev jump level (>= 1) together (build_skip_field).
 
-    Args:
-      t: [N] current ray parameter.
-      rays_o, rays_d: [N, 3].
-      skip_flat: [CAS*H*H*H] int8 skip field from build_skip_field.
-      edit_flat: optional uint8 grid of the same shape (distill path), or None.
-      cfg: static config.
-    Returns:
-      (t_next, sample) where sample = (ts, dt, occ, edit_occ) all [N].
+    Returns event(t) -> (t_next, (ts, dt, occ, edit_occ)), all [N].
     """
     H = cfg.grid_size
     bound = cfg.bound
@@ -205,61 +201,85 @@ def _march_event(t, rays_o, rays_d, skip_flat, edit_flat, cfg: MarchConfig):
     gamma = cfg.dt_gamma
     single_level = cfg.cascades == 1  # static: no mip math needed
 
-    x = jnp.clip(rays_o[:, 0] + t * rays_d[:, 0], -bound, bound)
-    y = jnp.clip(rays_o[:, 1] + t * rays_d[:, 1], -bound, bound)
-    z = jnp.clip(rays_o[:, 2] + t * rays_d[:, 2], -bound, bound)
-
-    if gamma == 0.0:  # static: constant step (synthetic/llff configs)
-        dt = jnp.full_like(t, dt_min)
-    else:
-        dt = jnp.clip(t * gamma, dt_min, dt_max)
-
-    if single_level:
-        level = jnp.zeros_like(t, dtype=jnp.int32)
-        mip_bound = jnp.full_like(t, min(1.0, bound))
-    else:
-        level = _mip_level(x, y, z, dt, cfg)
-        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
-    inv_mb = 1.0 / mip_bound
-
-    def cell(v):
-        return jnp.clip(0.5 * (v * inv_mb + 1.0) * H, 0.0, H - 1.0).astype(jnp.int32)
-
-    nx, ny, nz = cell(x), cell(y), cell(z)
-    if single_level:
-        flat_idx = (nx * H + ny) * H + nz
-    else:
-        flat_idx = ((level * H + nx) * H + ny) * H + nz
-    f = jnp.take(skip_flat, flat_idx, axis=0).astype(jnp.int32)
-    occ = f == 0
-    edit_occ = (
-        jnp.take(edit_flat, flat_idx, axis=0) > 0 if edit_flat is not None
-        else jnp.zeros_like(occ)
-    )
-
-    rd = 1.0 / rays_d
+    rd = 1.0 / rays_d  # [N, 3] — hoisted
+    # exit-face bias per axis: (0.5 + 0.5*sign) folded with the cell center
     sgn = jnp.sign(rays_d)
-    pos = jnp.stack([x, y, z], axis=-1)
+    ox, oy, oz = rays_o[:, 0], rays_o[:, 1], rays_o[:, 2]
+    dx, dy, dz = rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]
 
-    # exit face of the current fine cell (minimum safe skip)
-    c = jnp.stack([nx, ny, nz], -1).astype(jnp.float32)
-    tv = (((c + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0)
-          * mip_bound[:, None] - pos) * rd
-    tt_fine = t + jnp.maximum(0.0, jnp.min(tv, axis=-1))
+    def event(t):
+        x = jnp.clip(ox + t * dx, -bound, bound)
+        y = jnp.clip(oy + t * dy, -bound, bound)
+        z = jnp.clip(oz + t * dz, -bound, bound)
 
-    # distance-field jump: field level f guarantees (2^(f-1) - 1) free
-    # cells in every direction
-    m = (jnp.left_shift(1, jnp.maximum(f - 1, 0)) - 1).astype(jnp.float32)
-    cell_world = (2.0 / H) * mip_bound
-    tt = jnp.maximum(tt_fine, t + m * cell_world)
+        if gamma == 0.0:  # static: constant step (synthetic/llff configs)
+            dt = jnp.full_like(t, dt_min)
+        else:
+            dt = jnp.clip(t * gamma, dt_min, dt_max)
 
-    # jump on the dt lattice (exact for gamma == 0; self-correcting
-    # otherwise: a short jump just re-skips next event)
-    n_skip = jnp.floor((tt - t) / dt) + 1.0
-    t_skip = t + jnp.maximum(n_skip, 1.0) * dt
+        if single_level:
+            mb = min(1.0, bound)  # python scalar: cell math stays scalar-const
+            scale = 0.5 * H / mb
 
-    t_next = jnp.where(occ, t + dt, t_skip)
-    return t_next, (t, dt, occ, edit_occ)
+            def cell(v):
+                return jnp.clip((v + mb) * scale, 0.0, H - 1.0).astype(
+                    jnp.int32)
+
+            nx, ny, nz = cell(x), cell(y), cell(z)
+            flat_idx = (nx * H + ny) * H + nz
+            mip_mul = mb
+        else:
+            level = _mip_level(x, y, z, dt, cfg)
+            mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)),
+                                    bound)
+            inv_mb = 1.0 / mip_bound
+
+            def cell(v):
+                return jnp.clip(0.5 * (v * inv_mb + 1.0) * H, 0.0,
+                                H - 1.0).astype(jnp.int32)
+
+            nx, ny, nz = cell(x), cell(y), cell(z)
+            flat_idx = ((level * H + nx) * H + ny) * H + nz
+            mip_mul = mip_bound
+
+        f = jnp.take(skip_flat, flat_idx, axis=0).astype(jnp.int32)
+        occ = f == 0
+        edit_occ = (
+            jnp.take(edit_flat, flat_idx, axis=0) > 0
+            if edit_flat is not None else jnp.zeros_like(occ)
+        )
+
+        pos = jnp.stack([x, y, z], axis=-1)
+        c = jnp.stack([nx, ny, nz], -1).astype(jnp.float32)
+        if single_level:
+            tv = (((c + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0) * mip_mul
+                  - pos) * rd
+        else:
+            tv = (((c + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0)
+                  * mip_mul[:, None] - pos) * rd
+        tt_fine = t + jnp.maximum(0.0, jnp.min(tv, axis=-1))
+
+        # distance-field jump: field level f guarantees (2^(f-1) - 1) free
+        # cells in every direction
+        m = (jnp.left_shift(1, jnp.maximum(f - 1, 0)) - 1).astype(
+            jnp.float32)
+        cell_world = (2.0 / H) * mip_mul
+        tt = jnp.maximum(tt_fine, t + m * cell_world)
+
+        # jump on the dt lattice (exact for gamma == 0; self-correcting
+        # otherwise: a short jump just re-skips next event)
+        n_skip = jnp.floor((tt - t) / dt) + 1.0
+        t_skip = t + jnp.maximum(n_skip, 1.0) * dt
+
+        t_next = jnp.where(occ, t + dt, t_skip)
+        return t_next, (t, dt, occ, edit_occ)
+
+    return event
+
+
+def _march_event(t, rays_o, rays_d, skip_flat, edit_flat, cfg: MarchConfig):
+    """Single-event convenience wrapper over make_march_event."""
+    return make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg)(t)
 
 
 @partial(jax.jit, static_argnames=("cfg", "with_edit"))
@@ -304,10 +324,10 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
 
     N = rays_o.shape[0]
     S = cfg.march_iters
+    event = make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg)
 
     def step(t, _):
-        t_next, sample = _march_event(t, rays_o, rays_d, skip_flat, edit_flat,
-                                      cfg)
+        t_next, sample = event(t)
         # Freeze rays that have left the volume.
         done = t >= fars
         t_next = jnp.where(done, t, t_next)

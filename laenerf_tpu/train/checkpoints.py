@@ -38,7 +38,12 @@ def save_pytree(path, tree, meta=None):
 
 
 def load_pytree(path, like):
-    """Load an .npz into the structure of `like` (same treedef)."""
+    """Load an .npz into the structure of `like` (same treedef).
+
+    Leaves are device_put eagerly: returning host numpy arrays would make
+    every subsequent jitted call re-upload the full tree (measured 10-20x
+    slowdown of post-load rendering through the TPU tunnel).
+    """
     data = np.load(path, allow_pickle=False)
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
     leaves = []
@@ -46,7 +51,7 @@ def load_pytree(path, like):
         key = jax.tree_util.keystr(p)
         if key not in data:
             raise KeyError(f"checkpoint missing {key}")
-        leaves.append(data[key])
+        leaves.append(jax.device_put(data[key]))
     return jax.tree_util.tree_unflatten(treedef, leaves), _load_meta(path)
 
 

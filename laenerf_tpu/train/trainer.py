@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.rays import get_rays, pixel_rays
+from ..data.rays import get_rays, pixel_rays, tile_raster_order
 from ..models.nerf import NeRFConfig, nerf_density, nerf_init
 from ..models.occupancy import (OccupancyState, mark_untrained_grid,
                                 occupancy_init, update_occupancy)
@@ -390,6 +390,11 @@ class Trainer:
                                     jnp.asarray(intrinsics), H, W)
         n = H * W
         chunk = self.eval_chunk
+        # chunk in spatial-tile order so whole chunks retire early (see
+        # tile_raster_order); undone after concatenation
+        order, inv = tile_raster_order(H, W)
+        rays_o = jnp.take(rays_o, jnp.asarray(order), axis=0)
+        rays_d = jnp.take(rays_d, jnp.asarray(order), axis=0)
         imgs, depths = [], []
         pad = (-n) % chunk
         if pad:
@@ -414,8 +419,13 @@ class Trainer:
                 jax.block_until_ready(out["image"])
                 print(f"# chunk {s // chunk}: {time.time() - t0:.3f}s "
                       f"rounds={int(out['rounds'])}", flush=True)
-        img = np.asarray(jnp.concatenate(imgs, axis=0)[:n]).reshape(H, W, 3)
-        depth = np.asarray(jnp.concatenate(depths, axis=0)[:n]).reshape(H, W)
+        inv_d = jnp.asarray(inv)
+        img = np.asarray(
+            jnp.take(jnp.concatenate(imgs, axis=0)[:n], inv_d, axis=0)
+        ).reshape(H, W, 3)
+        depth = np.asarray(
+            jnp.take(jnp.concatenate(depths, axis=0)[:n], inv_d, axis=0)
+        ).reshape(H, W)
         return img, depth
 
     def evaluate(self, dataset, max_views: Optional[int] = None):
