@@ -286,6 +286,29 @@ class EditPipeline:
 
     # -- phase F: eval + artifacts (gui.py:1941-1984) ---------------------
 
+    def render_edit_mask(self, pose, intrinsics, H, W, thresh=0.5,
+                         chunk=32768):
+        """Project the edit grid into a view: mask = fraction of ray weight
+        that terminates inside the region (the per-view analogue of the
+        reference's w8s_edit > 0.5 blend test, gui.py:459-467)."""
+        tr = self.trainer
+        inds_all = np.arange(H * W, dtype=np.int32)
+        egrid = jnp.asarray(self.edit_grid.grid)
+        outs = []
+        for s in range(0, H * W, chunk):
+            inds = jnp.asarray(inds_all[s:s + chunk])
+            rays_o, rays_d = get_rays(jnp.asarray(pose),
+                                      jnp.asarray(intrinsics), inds, H, W)
+            out = render_rays_distill(
+                tr.state.ema_params, tr.occ_state.occupancy, egrid,
+                rays_o, rays_d, jax.random.PRNGKey(0),
+                model_cfg=tr.model_cfg, render_cfg=tr.render_cfg,
+            )
+            outs.append(out["weights_edit"]
+                        / jnp.maximum(out["weights"], 1e-6))
+        frac = np.asarray(jnp.concatenate(outs))[:H * W].reshape(H, W)
+        return (frac > thresh).astype(np.float32)
+
     def eval_phase(self, val_dataset=None, test_dataset=None,
                    video_dataset=None, log_fn=print):
         tr = self.trainer
@@ -310,7 +333,9 @@ class EditPipeline:
             if ds is None:
                 continue
             out_dir = os.path.join(self.workspace, f"render_{name}")
+            mask_dir = os.path.join(self.workspace, "masks", name)
             os.makedirs(out_dir, exist_ok=True)
+            os.makedirs(mask_dir, exist_ok=True)
             for i in range(len(ds)):
                 img, depth = tr.render_image(ds.poses[i], ds.intrinsics,
                                              ds.H, ds.W)
@@ -318,6 +343,15 @@ class EditPipeline:
                     os.path.join(out_dir, f"{i:03d}.png"),
                     (np.clip(img, 0, 1) * 255).astype(np.uint8),
                 )
+                # edit-region mask in the ICE-NeRF G-channel convention so
+                # scripts/eval/mse_background.py consumes these directly
+                # via --masks_root (the reference ships hand-made masks;
+                # here they are projected from the edit grid)
+                mask = self.render_edit_mask(ds.poses[i], ds.intrinsics,
+                                             ds.H, ds.W)
+                mimg = np.zeros(mask.shape + (3,), np.uint8)
+                mimg[..., 1] = (mask * 255).astype(np.uint8)
+                imageio.imwrite(os.path.join(mask_dir, f"{i:03d}.png"), mimg)
         if video_dataset is not None:
             frames = []
             for i in range(len(video_dataset)):

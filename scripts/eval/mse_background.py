@@ -22,6 +22,8 @@ except ImportError:
 
 
 def _load(path):
+    if not os.path.exists(path) and os.path.exists(path + ".png"):
+        path = path + ".png"  # blender-style file_path has no extension
     img = np.asarray(imageio.imread(path), np.float32)
     if img.ndim == 2:
         img = img[..., None].repeat(3, -1)
@@ -53,6 +55,17 @@ def evaluate(results_dir, scene, datatype="llff", save_dir=None,
         os.path.dirname(__file__), "masks", datatype, scene)
     masks = [os.path.join(masks_root, os.path.basename(f["file_path"]))
              for f in frames]
+    # blender-style file_paths lack an extension; also accept sequentially
+    # numbered masks as exported by the pipeline's eval phase
+    fixed = []
+    for k, m in enumerate(masks):
+        if not os.path.exists(m):
+            if os.path.exists(m + ".png"):
+                m = m + ".png"
+            elif os.path.exists(os.path.join(masks_root, f"{k:03d}.png")):
+                m = os.path.join(masks_root, f"{k:03d}.png")
+        fixed.append(m)
+    masks = fixed
     outs = [os.path.join(results_dir, i)
             for i in sorted(os.listdir(results_dir))
             if i.lower().endswith((".png", ".jpg"))]

@@ -1,0 +1,134 @@
+"""Round-2 quality gate: train the reference budget on a lego-class scene.
+
+Protocol (VERDICT round 1, item 4): the reference's implicit contract is
+30k-iter training on nerf_synthetic at 800x800 (scripts/
+configs_nerf_synthetic/lego.sh) to instant-ngp-class PSNR. This
+environment ships no datasets (zero egress), so the gate uses the
+procedural lego-class scene (laenerf_tpu/data/synthetic.py:lego_class_scene
+— thin shells, lattices, high-frequency textures) at full 800x800,
+trains the reference budget, and records test-split PSNR/SSIM.
+
+Usage:
+  python scripts/quality_gate.py [--iters 30000] [--workspace /tmp/qgate]
+  python scripts/quality_gate.py --resume   # continue from checkpoint
+
+Writes <workspace>/quality_gate.json and appends the result row to
+docs/PERF.md by hand afterwards.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--workspace", default="/tmp/qgate")
+parser.add_argument("--iters", type=int, default=30000)
+parser.add_argument("--n_train", type=int, default=64)
+parser.add_argument("--H", type=int, default=800)
+parser.add_argument("--resume", action="store_true")
+parser.add_argument("--eval_only", action="store_true")
+args = parser.parse_args()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
+from laenerf_tpu.data.synthetic import lego_class_scene
+from laenerf_tpu.models import NeRFConfig, RenderConfig
+from laenerf_tpu.train import Trainer
+from laenerf_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+ws = args.workspace
+scene_dir = os.path.join(ws, "scene")
+os.makedirs(ws, exist_ok=True)
+
+if not os.path.exists(os.path.join(scene_dir, "transforms_train.json")):
+    print(f"# generating lego-class scene at {args.H}^2 "
+          f"({args.n_train} train views)...", flush=True)
+    t0 = time.time()
+    generate_synthetic_scene(scene_dir, n_train=args.n_train, n_val=4,
+                             n_test=8, H=args.H, W=args.H,
+                             spheres=lego_class_scene())
+    print(f"# scene generated in {time.time() - t0:.0f}s", flush=True)
+
+train_ds = NeRFDataset(scene_dir, "train", num_rays=4096)
+test_ds = NeRFDataset(scene_dir, "test")
+
+# reference budget: 30k iters, 4096 rays, fp16[->bf16], lr 1e-2
+# (configs_nerf_synthetic/lego.sh); max_steps 512 trades the reference's
+# 1024 for 2x coarser dt — the scene GT itself is rendered at dt~0.016
+model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
+                       log2_hashmap_size=19, paired_gather=True)
+render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
+                          max_steps=512, march_iters=384,
+                          m_cap_per_ray=32, density_thresh=10.0,
+                          infer_chunk_events=16, infer_compact_factor=4)
+tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,
+             iters=args.iters, eval_chunk=32768)
+
+start = 0
+if args.resume or args.eval_only:
+    if tr.load_checkpoint("latest"):
+        start = tr.global_step
+
+if not args.eval_only:
+    if start == 0:
+        tr.mark_untrained(train_ds)
+    t0 = time.time()
+    last = t0
+    for step in range(start, args.iters):
+        tr.train_one_batch(train_ds.get_batch(step % len(train_ds)),
+                           has_alpha=True)
+        if (step + 1) % 1000 == 0:
+            jax.block_until_ready(tr.state.params)
+            now = time.time()
+            occ = float(jnp.mean(tr.occ_state.occupancy))
+            print(f"# step {step + 1}/{args.iters} "
+                  f"{1000 / (now - last):.1f} it/s occ {occ:.3f}",
+                  flush=True)
+            last = now
+            if (step + 1) % 5000 == 0:
+                tr.save_checkpoint()
+    jax.block_until_ready(tr.state.params)
+    train_time = time.time() - t0
+    tr.save_checkpoint()
+    print(f"# trained {args.iters - start} iters in {train_time:.0f}s",
+          flush=True)
+
+# test-split evaluation at full resolution
+from laenerf_tpu.train.metrics import LPIPSMeter, psnr_meter, ssim_meter
+
+pm, sm, lm = psnr_meter(), ssim_meter(), LPIPSMeter()
+t0 = time.time()
+for i in range(len(test_ds)):
+    img, _ = tr.render_image(test_ds.poses[i], test_ds.intrinsics,
+                             test_ds.H, test_ds.W)
+    gt = test_ds.images[i]
+    if gt.shape[-1] == 4:
+        gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+    pm.update(img, gt)
+    sm.update(img, gt)
+    lm.update(img, gt)
+    print(f"# test view {i}: PSNR so far {pm.measure():.2f}", flush=True)
+render_time = (time.time() - t0) / len(test_ds)
+
+result = {
+    "scene": "procedural lego-class 800x800",
+    "iters": args.iters,
+    "test_psnr": round(pm.measure(), 2),
+    "test_ssim": round(sm.measure(), 4),
+    "test_lpips": round(lm.measure(), 4) if lm.available else None,
+    "render_s_per_frame": round(render_time, 2),
+    "n_train_views": args.n_train,
+    "device": str(jax.devices()[0]),
+}
+with open(os.path.join(ws, "quality_gate.json"), "w") as f:
+    json.dump(result, f, indent=2)
+print(json.dumps(result), flush=True)

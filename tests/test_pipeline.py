@@ -100,8 +100,33 @@ def test_recolor_pipeline(trained):
     assert changed
 
     pipe.finetune_phase(log_fn=lambda *a: None)
-    results = pipe.eval_phase(log_fn=lambda *a: None)
+    results = pipe.eval_phase(test_dataset=ds, log_fn=lambda *a: None)
     assert np.isfinite(results["psnr_train"])
+
+    # edit-region masks are exported for bg-MSE (VERDICT item 5); the
+    # region was grown around the object, so masks must have positives
+    import os
+    mask0 = os.path.join(tmp, "edit_ws", "masks", "test", "000.png")
+    assert os.path.exists(mask0)
+    import imageio.v2 as iio
+    marr = np.asarray(iio.imread(mask0))
+    assert marr[..., 1].sum() > 0  # G-channel convention
+
+    # the bg-MSE eval script consumes the exported renders + masks
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "mse_background", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "eval", "mse_background.py"))
+    mseb = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mseb)
+    res = mseb.evaluate(
+        results_dir=os.path.join(tmp, "edit_ws", "render_test"),
+        scene=os.path.basename(tmp), datatype=os.path.basename(
+            os.path.dirname(tmp)),
+        data_root=os.path.dirname(os.path.dirname(tmp)),
+        masks_root=os.path.join(tmp, "edit_ws", "masks", "test"))
+    assert np.isfinite(res["mean"])
 
     # artifact contract (SURVEY.md §4: pipeline artifacts as oracles)
     import os
