@@ -134,11 +134,11 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
         len(caps) - 1,
     )
 
-    # rematerialize the network eval: its residuals (gathered table rows,
-    # MLP activations) dominate HBM at the big tiers
-    network = jax.checkpoint(
-        lambda p, x, d: nerf_forward(p, model_cfg, x, d)
-    )
+    # No remat: with the N*S/4 top tier gone the residuals (gathered rows +
+    # MLP activations at <= base_cap samples) fit HBM comfortably, and
+    # rematerializing would repeat the encoder's 2M-row gather in the
+    # backward (~19 ms/step measured)
+    network = lambda p, x, d: nerf_forward(p, model_cfg, x, d)
 
     def eval_at_cap(m_cap):
         def fn(_):

@@ -223,3 +223,38 @@ def test_compaction_overflow_drops():
     assert int(gather_mask.sum()) == 10
     # dropped samples map to the dumpster row
     assert int(jnp.sum(dest == 10)) == 6
+
+
+def test_skip_field_safety():
+    """build_skip_field's guarantee: field k >= 1 at cell c means no
+    occupied cell within chebyshev radius 2^(k-1) - 1 (brute-force check)."""
+    from laenerf_tpu.ops.raymarch import build_skip_field
+
+    rng = np.random.RandomState(3)
+    occ = (rng.rand(1, 24, 24, 24) > 0.97).astype(np.uint8)
+    field = np.asarray(build_skip_field(jnp.asarray(occ)))[0]
+    occ3 = occ[0]
+    pts = np.argwhere(occ3 > 0)
+    assert (field[occ3 > 0] == 0).all()
+    # random sample of free cells
+    free = np.argwhere(occ3 == 0)
+    sel = free[rng.choice(len(free), 200, replace=False)]
+    for c in sel:
+        k = field[tuple(c)]
+        assert k >= 1
+        m = (1 << (k - 1)) - 1
+        if m > 0 and len(pts):
+            cheb = np.max(np.abs(pts - c), axis=1).min()
+            assert cheb > m, f"cell {c}: field {k} claims {m} free, " \
+                             f"nearest occupied at {cheb}"
+
+
+def test_skip_field_empty_and_full():
+    from laenerf_tpu.ops.raymarch import SKIP_LEVELS, build_skip_field
+
+    empty = jnp.zeros((1, 16, 16, 16), jnp.uint8)
+    f = np.asarray(build_skip_field(empty))
+    assert (f == SKIP_LEVELS + 1).all() or (f >= 2).all()
+    full = jnp.ones((1, 16, 16, 16), jnp.uint8)
+    f = np.asarray(build_skip_field(full))
+    assert (f == 0).all()
