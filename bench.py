@@ -53,17 +53,19 @@ def main():
                  eval_chunk=32768)
     tr.mark_untrained(ds)
 
-    # warm up until the occupancy grid prunes (realistic steady state)
+    # warm up until the occupancy grid prunes to its steady state (~1-3%
+    # on this scene); stopping at a half-pruned grid understates render
+    # throughput by ~1.5x
     step = 0
     occ_frac = 1.0
-    while step < 3072:
+    while step < 2048:
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
         step += 1
         if step % 128 == 0:
             occ_frac = float(jnp.mean(tr.occ_state.occupancy))
             print(f"# warm {step}: occ_frac {occ_frac:.3f}",
                   file=sys.stderr, flush=True)
-            if occ_frac < 0.12 and step >= 384:
+            if occ_frac < 0.035 and step >= 384:
                 break
     jax.block_until_ready(tr.state.params)
     warm_steps = step
@@ -91,11 +93,17 @@ def main():
     dt = time.time() - t0
     rays_per_sec = n_renders * H * W / dt
 
-    # quality sanity: one dataset-resolution render vs GT
-    img, _ = tr.render_image(ds.poses[0], ds.intrinsics, ds.H, ds.W)
-    gt = ds.images[0]
-    gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
-    psnr = float(-10 * np.log10(max(np.mean((img - gt) ** 2), 1e-10)))
+    # quality sanity: dataset-resolution renders vs GT (train + held-out)
+    def view_psnr(split_ds, i):
+        img, _ = tr.render_image(split_ds.poses[i], split_ds.intrinsics,
+                                 split_ds.H, split_ds.W)
+        gt = split_ds.images[i]
+        gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+        return float(-10 * np.log10(max(np.mean((img - gt) ** 2), 1e-10)))
+
+    psnr = view_psnr(ds, 0)
+    test_ds = NeRFDataset(tmp, "test")
+    test_psnr = view_psnr(test_ds, 0)
 
     result = {
         "metric": "render_rays_per_sec_800x800",
@@ -105,6 +113,7 @@ def main():
         "train_iters_per_sec": round(train_iters_per_sec, 2),
         "render_ms_per_frame": round(1000 * dt / n_renders, 1),
         "train_psnr": round(psnr, 2),
+        "test_psnr": round(test_psnr, 2),
         "occ_frac": round(occ_frac, 4),
         "warm_steps": warm_steps,
         "setup_s": round(time.time() - t_setup, 1),

@@ -166,15 +166,35 @@ def _prim_arrays(spheres):
     return out
 
 
-def _render_view(pose, H, W, focal, spheres, n_steps=384):
+def _render_view(pose, H, W, focal, spheres, n_steps=384, aa: int = 1):
     """Dense ground-truth volume render of one view (vectorized JAX; runs
-    on the default backend, so 800x800 views take seconds, not minutes)."""
+    on the default backend, so 800x800 views take seconds, not minutes).
+
+    aa > 1 supersamples aa^2 jittered sub-pixel rays per pixel: the binary
+    inside-tests otherwise produce stairstep silhouettes that cap the
+    reconstructible PSNR of models trained on the data."""
+    if aa > 1:
+        img = None
+        acc = None
+        offs = (np.arange(aa) + 0.5) / aa - 0.5
+        for oy in offs:
+            for ox in offs:
+                im, ac = _render_view_offset(pose, H, W, focal, spheres,
+                                             n_steps, ox, oy)
+                img = im if img is None else img + im
+                acc = ac if acc is None else acc + ac
+        return img / aa ** 2, acc / aa ** 2
+    return _render_view_offset(pose, H, W, focal, spheres, n_steps, 0.0, 0.0)
+
+
+def _render_view_offset(pose, H, W, focal, spheres, n_steps, ox, oy):
     import jax
     import jax.numpy as jnp
 
     pa = {k: jnp.asarray(v) for k, v in _prim_arrays(spheres).items()}
 
-    i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5, indexing="xy")
+    i, j = np.meshgrid(np.arange(W) + 0.5 + ox, np.arange(H) + 0.5 + oy,
+                       indexing="xy")
     dirs_cam = np.stack(
         [(i - W / 2) / focal, -(j - H / 2) / focal, -np.ones_like(i)], -1
     )
@@ -244,7 +264,7 @@ def _render_view(pose, H, W, focal, spheres, n_steps=384):
 
 def generate_synthetic_scene(out_dir, n_train=20, n_val=2, n_test=3, H=100,
                              W=100, radius=3.5, camera_angle_x=0.8,
-                             spheres=None, seed=0):
+                             spheres=None, seed=0, aa: int = 1):
     """Write a blender-format scene under out_dir. Returns out_dir."""
     spheres = spheres or DEFAULT_SPHERES
     os.makedirs(out_dir, exist_ok=True)
@@ -263,7 +283,7 @@ def generate_synthetic_scene(out_dir, n_train=20, n_val=2, n_test=3, H=100,
                 radius * np.cos(theta),
             )
             pose = _look_at_pose(eye)
-            img, alpha = _render_view(pose, H, W, focal, spheres)
+            img, alpha = _render_view(pose, H, W, focal, spheres, aa=aa)
             rgba = np.concatenate([img, alpha[..., None]], -1)
             rgba = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
             rel = f"{name}/r_{k}.png"

@@ -31,6 +31,8 @@ parser.add_argument("--n_train", type=int, default=64)
 parser.add_argument("--H", type=int, default=800)
 parser.add_argument("--resume", action="store_true")
 parser.add_argument("--eval_only", action="store_true")
+parser.add_argument("--aa", type=int, default=1,
+                    help="GT supersampling factor (aa^2 rays/pixel)")
 args = parser.parse_args()
 
 import jax
@@ -55,7 +57,7 @@ if not os.path.exists(os.path.join(scene_dir, "transforms_train.json")):
     t0 = time.time()
     generate_synthetic_scene(scene_dir, n_train=args.n_train, n_val=4,
                              n_test=8, H=args.H, W=args.H,
-                             spheres=lego_class_scene())
+                             spheres=lego_class_scene(), aa=args.aa)
     print(f"# scene generated in {time.time() - t0:.0f}s", flush=True)
 
 train_ds = NeRFDataset(scene_dir, "train", num_rays=4096)
