@@ -27,7 +27,13 @@ def _load(path):
     img = np.asarray(imageio.imread(path), np.float32)
     if img.ndim == 2:
         img = img[..., None].repeat(3, -1)
-    return img[..., :3] / 255.0
+    img = img / 255.0
+    if img.shape[-1] == 4:
+        # blender-style RGBA ground truth: composite over white, matching
+        # how renders are produced (the reference's llff/mip360 data is
+        # plain RGB so this path never triggers there)
+        img = img[..., :3] * img[..., 3:] + (1.0 - img[..., 3:])
+    return img[..., :3]
 
 
 def _resize(img, h, w):
