@@ -86,7 +86,7 @@ def main():
     intr[2], intr[3] = W / 2, H / 2
     # warmup render (compile)
     tr.render_image(ds.poses[0], intr, H, W)
-    n_renders = 2
+    n_renders = 4
     t0 = time.time()
     for i in range(n_renders):
         tr.render_image(ds.poses[i % len(ds)], intr, H, W)

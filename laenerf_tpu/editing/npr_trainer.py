@@ -137,19 +137,35 @@ class NPRTrainer:
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
 
+    def _device_view(self, i: int):
+        """Static view tensors uploaded once; depth jitter applied on device
+        (same fix as LAENeRFTrainer: per-step uploads + loss syncs through
+        the TPU tunnel dominated wall-clock)."""
+        if not hasattr(self, "_dev_views"):
+            self._dev_views = {}
+        if i not in self._dev_views:
+            v = self.ds.views[i]
+            jb = {k: jax.device_put(a) for k, a in v.items()
+                  if isinstance(a, np.ndarray)}
+            self._dev_views[i] = (jb, float(v.get("depth_factor", 0.0)))
+        return self._dev_views[i]
+
     def train_steps(self, n: int):
-        losses = []
+        mses = []
         order = self.ds.epoch_indices()
         oi = 0
         for _ in range(n):
             if oi >= len(order):
                 order = self.ds.epoch_indices()
                 oi = 0
-            batch = self.ds.get_batch(int(order[oi]))
+            base, depth_factor = self._device_view(int(order[oi]))
             oi += 1
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
-            self.key, k = jax.random.split(self.key)
+            self.key, k, kj = jax.random.split(self.key, 3)
+            jb = dict(base)
+            if depth_factor > 0:
+                d = (jax.random.uniform(kj, (jb["x_term"].shape[0],))
+                     - 0.5) * depth_factor
+                jb["x_term"] = base["x_term"] + d[:, None] * base["dirs"]
             self.params, self.opt_state, aux = npr_train_step(
                 self.params, self.opt_state, self.active, jb,
                 self.sem.params, k, vgg_kinds=tuple(self.sem.kinds),
@@ -161,8 +177,8 @@ class NPRTrainer:
                 color_patch_w=self.color_patch_w,
             )
             self.step += 1
-            losses.append(float(aux["mse"]))
-        return float(np.mean(losses))
+            mses.append(aux["mse"])
+        return float(jnp.mean(jnp.stack(mses)))
 
 
 def build_npr_nerf_dataset(npr_dataset, laenerf_params, laenerf_cfg, active,

@@ -201,20 +201,42 @@ class LAENeRFTrainer:
             return sn.gram_color
         return sn.gram_style
 
+    def _device_view(self, i: int):
+        """Static view tensors uploaded to device once (re-uploading each
+        view every step through the TPU tunnel dominated style-phase
+        wall-clock); the per-step depth jitter is applied on device."""
+        if not hasattr(self, "_dev_views"):
+            self._dev_views = {}
+        if i not in self._dev_views:
+            v = self.ds.views[i]
+            jb = {k: jax.device_put(a) for k, a in v.items()
+                  if isinstance(a, np.ndarray)}
+            self._dev_views[i] = (jb, float(v.get("depth_factor", 0.0)))
+        return self._dev_views[i]
+
     def train_steps(self, n: int):
-        """Run n steps, cycling shuffled views (train_LAENeRF_step loop)."""
-        losses = []
+        """Run n steps, cycling shuffled views (train_LAENeRF_step loop).
+
+        The loss is fetched once at the end of the chunk — a per-step
+        float() would insert a host round-trip between every step.
+        """
+        mses = []
         order = self.ds.epoch_indices()
         oi = 0
         for _ in range(n):
             if oi >= len(order):
                 order = self.ds.epoch_indices()
                 oi = 0
-            batch = self.ds.get_batch(int(order[oi]))
+            base, depth_factor = self._device_view(int(order[oi]))
             oi += 1
-            self.key, k = jax.random.split(self.key)
-            jb = {k2: jnp.asarray(v) for k2, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+            self.key, k, kj = jax.random.split(self.key, 3)
+            jb = dict(base)
+            if depth_factor > 0:
+                # collate-time x_term re-jitter along the ray
+                # (edit_dataset.py:289-312), moved on-device
+                d = (jax.random.uniform(kj, (jb["x_term"].shape[0],))
+                     - 0.5) * depth_factor
+                jb["x_term"] = base["x_term"] + d[:, None] * base["dirs"]
             self.params, self.opt_state, aux = laenerf_train_step(
                 self.params, self.opt_state, self.active, jb, k,
                 cfg=self.cfg, weights=self.weights, optimizer=self.optimizer,
@@ -228,8 +250,8 @@ class LAENeRFTrainer:
                 crop_size=self.crop_size,
             )
             self.step += 1
-            losses.append(float(aux["mse"]))
-        return float(np.mean(losses))
+            mses.append(aux["mse"])
+        return float(jnp.mean(jnp.stack(mses)))
 
     def prune(self, n_views: int = 10, thresh: float = 0.025):
         """Palette pruning over 10 random views (style_encoder.py:160-172),

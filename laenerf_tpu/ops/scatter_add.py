@@ -22,6 +22,12 @@ table): 227 ms (XLA scatter) -> ~48 ms end-to-end.
 Precision: "bf16" rounds each update row to bf16 before the f32-accumulating
 matmul (strictly better than the reference's fp16 atomic accumulation);
 "f32" splits updates into bf16 hi/lo parts and uses two matmuls (~1e-6 rel).
+
+Multi-device note: under a data-parallel mesh the hashgrid backward runs
+this kernel per shard before the gradient psum. GSPMD has no partitioning
+rule for pallas_call, so on a real multi-chip mesh the call should be
+wrapped in shard_map (untestable here: single physical chip; the 8-device
+dryrun exercises the XLA fallback on CPU). Tracked for round 3.
 """
 
 import functools
