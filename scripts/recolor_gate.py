@@ -28,6 +28,7 @@ parser.add_argument("--workspace", default="/tmp/qgate2")
 parser.add_argument("--style_steps", type=int, default=10000)
 parser.add_argument("--distill_steps", type=int, default=7000)
 parser.add_argument("--palette_steps", type=int, default=1500)
+parser.add_argument("--mode", default="recolor", choices=["recolor", "style"])
 args = parser.parse_args()
 
 import jax
@@ -45,7 +46,7 @@ enable_compilation_cache()
 
 ws = args.workspace
 scene_dir = os.path.join(ws, "scene")
-edit_ws = os.path.join(ws, "recolor_ws")
+edit_ws = os.path.join(ws, f"{args.mode}_ws")
 
 model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
                        log2_hashmap_size=19, paired_gather=True)
@@ -81,28 +82,56 @@ print(f"# edit region: {int(eg.grid.sum())} voxels", flush=True)
 grow = EditGrid(render_cfg.cascades, render_cfg.grid_size)
 grow.grid_from_growing_queue(eg, density, thresh)
 
-# --- recolor pipeline at reference budgets (run_llff.sh:58-66) -------------
-cfg = PipelineConfig(
-    mode="recolor",
-    train_steps_style=args.style_steps,
-    train_steps_distill=args.distill_steps,
-    distill_palette_steps=args.palette_steps,
-    num_palette_bases=8,
-    depth_diff=0.5,
-    weights=StyleLossWeights(
-        offset_loss=1e-4, weight_loss_uniform=1e-5,
-        weight_loss_non_uniform=1e-5, palette_loss_valid=1e-4,
-        palette_loss_distinct=1e-4, warmup_iterations=1000,
-    ),
-)
+# --- pipeline at reference budgets (run_llff.sh:58-97) ---------------------
+if args.mode == "style":
+    # procedural wave-pattern style image (the reference ships
+    # wave_style.png; zero egress here)
+    import imageio.v2 as iio
+
+    yy, xx = np.mgrid[0:256, 0:256] / 256.0
+    wave = 0.5 + 0.5 * np.sin(12 * xx + 5 * np.sin(6 * yy))
+    style_img = np.stack([wave, 0.4 + 0.5 * wave ** 2,
+                          0.9 - 0.6 * wave], -1)
+    style_path = os.path.join(ws, "style_image.png")
+    iio.imwrite(style_path, (style_img * 255).astype(np.uint8))
+    cfg = PipelineConfig(
+        mode="style",
+        train_steps_style=args.style_steps,
+        train_steps_distill=args.distill_steps,
+        distill_palette_steps=args.palette_steps,
+        num_palette_bases=8,
+        depth_diff=0.5,
+        style_image=style_path, crop_size=256,
+        weights=StyleLossWeights(
+            offset_loss=5e-5, weight_loss_non_uniform=1e-7,
+            palette_loss_valid=1.0, smooth_trans_weight=1e-3,
+            tv_weight=1e-4, tv_depth_guide=True, depth_disc_weight=5e-4,
+            style_weight=130.0, warmup_iterations=1000,
+        ),
+    )
+else:
+    cfg = PipelineConfig(
+        mode="recolor",
+        train_steps_style=args.style_steps,
+        train_steps_distill=args.distill_steps,
+        distill_palette_steps=args.palette_steps,
+        num_palette_bases=8,
+        depth_diff=0.5,
+        weights=StyleLossWeights(
+            offset_loss=1e-4, weight_loss_uniform=1e-5,
+            weight_loss_non_uniform=1e-5, palette_loss_valid=1e-4,
+            palette_loss_distinct=1e-4, warmup_iterations=1000,
+        ),
+    )
 pipe = EditPipeline(tr, train_ds, cfg, edit_ws, eg, grow)
 pipe.init_phase()
 print(f"# edit dataset: {len(pipe.edit_dataset)} views", flush=True)
 pipe.train_laenerf_phase(log_every=1000)
 
-# recolor the blue sphere toward red
-pal = np.asarray(pipe.style_trainer.params["palette"])
-cfg.palette_mod = np.clip(pal * np.array([1.8, 0.4, 0.35]), 0, 1)
+if args.mode == "recolor":
+    # recolor the blue sphere toward red
+    pal = np.asarray(pipe.style_trainer.params["palette"])
+    cfg.palette_mod = np.clip(pal * np.array([1.8, 0.4, 0.35]), 0, 1)
 pipe.distill_phase()
 pipe.finetune_phase()
 results = pipe.eval_phase(test_dataset=test_ds)
@@ -128,11 +157,12 @@ summary = {
     "wall_clock_s": round(wall, 1),
     "bg_mse": bg["mean"],
     "psnr_train_after": results.get("psnr_train"),
+    "mode": args.mode,
     "style_steps": args.style_steps,
     "distill_steps": args.distill_steps,
     "timings": json.load(open(os.path.join(edit_ws, "timings.json")))
     if os.path.exists(os.path.join(edit_ws, "timings.json")) else None,
 }
-with open(os.path.join(edit_ws, "recolor_gate.json"), "w") as f:
+with open(os.path.join(edit_ws, f"{args.mode}_gate.json"), "w") as f:
     json.dump(summary, f, indent=2)
 print(json.dumps(summary), flush=True)
