@@ -29,6 +29,10 @@ parser.add_argument("--style_steps", type=int, default=10000)
 parser.add_argument("--distill_steps", type=int, default=7000)
 parser.add_argument("--palette_steps", type=int, default=1500)
 parser.add_argument("--mode", default="recolor", choices=["recolor", "style"])
+parser.add_argument("--grow_iterations", type=int, default=4000,
+                    help="BFS region-growing budget; the density graph is "
+                         "connected, so an unbounded grow floods from the "
+                         "selected part into the whole object")
 args = parser.parse_args()
 
 import jax
@@ -76,7 +80,7 @@ eg = EditGrid(cascades=render_cfg.cascades, grid_size=render_cfg.grid_size)
 eg.new_from_points(jnp.asarray(pts, jnp.float32), bound=1.0)
 density = np.asarray(tr.occ_state.density_grid)
 thresh = min(float(tr.occ_state.mean_density), 0.01)
-eg.grow_region_queue(density, thresh, grow_iterations=200000)
+eg.grow_region_queue(density, thresh, grow_iterations=args.grow_iterations)
 print(f"# edit region: {int(eg.grid.sum())} voxels", flush=True)
 
 grow = EditGrid(render_cfg.cascades, render_cfg.grid_size)
