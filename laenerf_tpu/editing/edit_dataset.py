@@ -326,11 +326,15 @@ class EditDataset:
         keys = [k for k in data.files
                 if k not in ("occluded", "H", "W", "n_pad", "crop_h",
                              "crop_w", "depth_diff", "max_dist", "num_steps")]
+        # decompress each array exactly once: indexing the NpzFile inside
+        # the view loop re-decompresses the full stacked array per access
+        # (measured: minutes instead of seconds for an 800x800 dataset)
+        stacked = {k: data[k] for k in keys}
         self.views = []
         for i in range(n_views):
             v = {}
             for k in keys:
-                arr = data[k][i]
+                arr = stacked[k][i]
                 v[k] = arr.item() if arr.ndim == 0 else arr
             self.views.append(v)
         return self
