@@ -43,8 +43,9 @@ MAXU = 2048  # updates per input block
 N_GRP = MAXU // 128
 
 
-def _kernel(wt_ref, wb_ref, wflag_ref, qs_ref, gs_ref, out_ref, *,
+def _kernel(wt_ref, wb_ref, wflag_ref, qs_ref, gs_ref, zeros_ref, out_ref, *,
             split: bool):
+    del zeros_ref  # donated pre-zeroed output; untouched tiles keep zeros
     """One work item: accumulate update block wb into table tile wt.
 
     wflag bit 0: first work item of this tile (zero the accumulator).
@@ -91,6 +92,11 @@ def _make_call(q_blks: int, n_tiles: int, w_cap: int, c: int, split: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((MAXU, c), lambda w, wt, wb, wf: (wb[w], 0),
                          memory_space=pltpu.VMEM),
+            # donated pre-zeroed output: lets the work list skip empty
+            # tiles entirely (their blocks are never written and keep the
+            # zeros) — for big sparse tables (the L16 editing encoder)
+            # this halves the kernel's grid work
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, c), lambda w, wt, wb, wf: (wt[w], 0),
                                memory_space=pltpu.VMEM),
@@ -99,6 +105,8 @@ def _make_call(q_blks: int, n_tiles: int, w_cap: int, c: int, split: bool,
         functools.partial(_kernel, split=split),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, c), jnp.float32),
+        # operand index counts the 3 scalar-prefetch args first
+        input_output_aliases={5: 0},
         interpret=interpret,
     )
 
@@ -149,15 +157,22 @@ def scatter_add_rows(idx, g, table_rows: int, *, precision: str = "bf16",
     cnt = lo[1:] - lo[:-1]
     blk_lo = lo[:-1] // MAXU
     blk_hi = (jnp.maximum(lo[1:], 1) - 1) // MAXU
-    n_work = jnp.where(cnt > 0, blk_hi - blk_lo + 1, 1)
+    # empty tiles get NO work item: the donated pre-zeroed output keeps
+    # their blocks at zero without the kernel visiting them
+    n_work = jnp.where(cnt > 0, blk_hi - blk_lo + 1, 0)
     cum = jnp.cumsum(n_work)
     total = cum[-1]
 
     w_ids = jnp.arange(w_cap, dtype=jnp.int32)
     wt = jnp.searchsorted(cum, w_ids, side="right").astype(jnp.int32)
     wt = jnp.minimum(wt, n_tiles - 1)
-    w_off = w_ids - jnp.where(wt > 0, jnp.take(cum, wt - 1), 0)
+    # padding items must revisit a tile the kernel already zeroed (an
+    # unvisited block's VMEM buffer would otherwise be flushed back as
+    # garbage): park them on the last real item's tile
+    last_tile = jnp.take(wt, jnp.maximum(total - 1, 0))
     in_range = w_ids < total
+    wt = jnp.where(in_range, wt, last_tile)
+    w_off = w_ids - jnp.where(wt > 0, jnp.take(cum, wt - 1), 0)
     wreal = in_range & (jnp.take(cnt, wt) > 0)
     wfirst = (w_off == 0) & in_range
     wflag = (wfirst.astype(jnp.int32) + 2 * wreal.astype(jnp.int32))
@@ -166,8 +181,9 @@ def scatter_add_rows(idx, g, table_rows: int, *, precision: str = "bf16",
 
     call = _make_call(q_blks, n_tiles, w_cap, C, precision != "bf16",
                       bool(interpret))
+    zeros = jnp.zeros((n_tiles * TILE, C), jnp.float32)
     grad = call(wt, wb, wflag,
-                qs_p.reshape(q_blks * N_GRP, 128), gs_p)
+                qs_p.reshape(q_blks * N_GRP, 128), gs_p, zeros)
     return grad[:table_rows]
 
 
