@@ -193,6 +193,11 @@ class LAENeRFTrainer:
             self._vgg_kinds = None
             self._style_layers = None
 
+    def set_config(self, cfg: LAENeRFConfig):
+        """Swap the static model config (e.g. to match a reloaded
+        checkpoint's table layout); jitted steps re-specialize on it."""
+        self.cfg = cfg
+
     def _gram_targets(self):
         if self.style_network is None:
             return None

@@ -135,13 +135,20 @@ def _gather_rows_fwd(table, idx):
 
 
 def _gather_rows_bwd(res, g):
+    import os
+
     from .scatter_add import scatter_add_rows, scatter_add_rows_xla
 
     idx, (T, C) = res
     q = idx.reshape(-1).astype(jnp.int32)
     g2 = g.reshape(-1, C)
-    if (jax.default_backend() == "tpu"
-            and q.shape[0] >= _PALLAS_SCATTER_MIN_ROWS):
+    # LAENERF_FORCE_PALLAS_SCATTER routes the backward through the Pallas
+    # work-list kernel regardless of backend/size (interpret mode off-TPU):
+    # used by the multichip dryrun and mesh tests so the code path that runs
+    # on real TPU meshes is the one exercised, not the XLA fallback.
+    force = os.environ.get("LAENERF_FORCE_PALLAS_SCATTER") == "1"
+    if force or (jax.default_backend() == "tpu"
+                 and q.shape[0] >= _PALLAS_SCATTER_MIN_ROWS):
         grad = scatter_add_rows(q, g2, T)
     else:
         grad = scatter_add_rows_xla(q, g2, T)

@@ -129,6 +129,11 @@ def scatter_add_rows(idx, g, table_rows: int, *, precision: str = "bf16",
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Q, C = g.shape[0], g.shape[1]
+    if Q == 0:
+        # an empty work list would leave every tile's VMEM output buffer
+        # uninitialized (no item carries the zero flag) — flushed back as
+        # garbage on hardware. Static shape, so resolve it at trace time.
+        return jnp.zeros((table_rows, C), jnp.float32)
     T_pad = ((table_rows + TILE - 1) // TILE) * TILE
     n_tiles = T_pad // TILE
     q_blks = (Q + MAXU - 1) // MAXU + 1

@@ -45,9 +45,13 @@ def dp_train_step(mesh, train_step_fn, state, occupancy, pose, intrinsics,
     """Run a train step with rays sharded over the mesh.
 
     Equivalent of DDP's forward/backward + gradient all-reduce: `inds` and
-    `pixels` are sharded on the 'data' axis, everything else replicated;
-    the mean-loss gradient reduction becomes a psum over ICI inserted by
-    GSPMD inside the jitted step.
+    `pixels` are sharded on the 'data' axis, everything else replicated.
+    The loss/gradient computation inside train_step is shard_mapped over the
+    mesh (`mesh=` static arg): each device renders and backprops its ray
+    shard — including the Pallas scatter-add kernel, which GSPMD has no
+    partitioning rule for — and gradients are pmean'd over ICI (the explicit
+    analogue of DDP's NCCL all_reduce, nerf/utils.py:379-383). The optimizer
+    and EMA updates then run on replicated gradients under plain GSPMD.
     """
     rep = NamedSharding(mesh, P())
     state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
@@ -55,4 +59,4 @@ def dp_train_step(mesh, train_step_fn, state, occupancy, pose, intrinsics,
     inds = shard_batch(mesh, inds)
     pixels = shard_batch(mesh, pixels)
     return train_step_fn(state, occupancy, pose, intrinsics, inds, pixels,
-                         key, **kw)
+                         key, mesh=mesh, **kw)

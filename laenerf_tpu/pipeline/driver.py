@@ -158,7 +158,16 @@ class EditPipeline:
         if cfg.style_enc_path and os.path.exists(cfg.style_enc_path):
             like = {"params": self.style_trainer.params,
                     "active": self.style_trainer.active}
-            tree, _ = load_pytree(cfg.style_enc_path, like)
+            tree, meta = load_pytree(cfg.style_enc_path, like)
+            # honor the table layout the weights were trained under
+            # (pre-meta checkpoints default to the paired layout, which has
+            # been the LAENeRFConfig default since it landed)
+            saved_layout = bool(meta.get("paired_gather",
+                                         self.laenerf_cfg.paired_gather))
+            if saved_layout != self.laenerf_cfg.paired_gather:
+                self.laenerf_cfg = dataclasses.replace(
+                    self.laenerf_cfg, paired_gather=saved_layout)
+                self.style_trainer.set_config(self.laenerf_cfg)
             self.style_trainer.params = tree["params"]
             self.style_trainer.active = tree["active"]
             self.original_palette = np.asarray(tree["params"]["palette"])
@@ -228,8 +237,12 @@ class EditPipeline:
         self.timer.stop("train_style_enc")
         # persist (gui.py:2050-2051, 1963-1967)
         self.original_palette = np.asarray(st.params["palette"])
+        # the table layout (paired_gather additive-x hash vs xor fast_hash)
+        # must travel with the weights: reloading under the other layout
+        # silently decodes garbage features (ADVICE r2)
         save_pytree(os.path.join(self.workspace, "style_enc.npz"),
-                    {"params": st.params, "active": st.active})
+                    {"params": st.params, "active": st.active},
+                    meta={"paired_gather": self.laenerf_cfg.paired_gather})
         np.savez(os.path.join(self.workspace, "palet_og.npz"),
                  palette=self.original_palette,
                  active=np.asarray(st.active))
@@ -422,7 +435,8 @@ def run_npr_pipeline(trainer, dataset, ref_npr_config: str, workspace: str,
         log_fn(f"[npr] step {done}/{train_steps_style} mse={mse:.5f}")
     timer.stop("train_style_enc")
     save_pytree(os.path.join(workspace, "style_enc.npz"),
-                {"params": npr_tr.params, "active": npr_tr.active})
+                {"params": npr_tr.params, "active": npr_tr.active},
+                meta={"paired_gather": lcfg.paired_gather})
 
     timer.start("distill_dataset")
     npr_views = build_npr_nerf_dataset(

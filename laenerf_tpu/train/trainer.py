@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import shard_map
 
 from ..data.rays import get_rays, pixel_rays, tile_raster_order
 from ..models.nerf import NeRFConfig, nerf_density, nerf_init
@@ -51,12 +52,14 @@ def make_optimizer(lr: float, iters: int):
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "optimizer",
                                    "ema_decay", "has_alpha", "bg_white",
-                                   "H", "W", "distill", "patch_lpips_fn"))
+                                   "H", "W", "distill", "patch_lpips_fn",
+                                   "patch_size", "mesh"))
 def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
                key, *, model_cfg: NeRFConfig, render_cfg: RenderConfig,
                optimizer, ema_decay: float, has_alpha: bool, bg_white: bool,
                H: int, W: int, distill: bool = False, depth_target=None,
-               depth_weight: float = 1e-3, patch_lpips_fn=None):
+               depth_weight: float = 1e-3, patch_lpips_fn=None,
+               patch_size: int = 1, mesh=None):
     """One optimization step (utils.py:535-642).
 
     Args:
@@ -65,6 +68,12 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
       bg_white: static; force white bg instead of per-pixel random.
       distill: static; fine-tune mode — depth is left un-normalized and an
         optional depth supervision term is added (utils.py:586-589,634-635).
+      mesh: optional jax.sharding.Mesh with a "data" axis. When given, the
+        loss/gradient computation is shard_mapped over it: each device runs
+        the render + backward (including the Pallas scatter-add, which GSPMD
+        cannot partition on its own) on its ray shard, and gradients are
+        pmean'd across the axis — the explicit analogue of DDP's NCCL
+        all-reduce (nerf/utils.py:379-383).
     Returns:
       (new_state, aux) where aux has loss and per-ray errors.
     """
@@ -80,7 +89,8 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
     else:
         gt = pixels[:, :3]
 
-    def loss_fn(params):
+    def loss_fn(params, occupancy, rays_o, rays_d, gt, bg, depth_target,
+                k_render):
         out = render_rays_train(params, occupancy, rays_o, rays_d, k_render,
                                 model_cfg=model_cfg, render_cfg=render_cfg,
                                 bg_color=bg, perturb=True)
@@ -95,17 +105,54 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
                 ((out["depth"] - (depth_target - out["nears"])) * dw) ** 2
             )
             loss = loss + depth_weight * dloss
-        if patch_lpips_fn is not None:
-            # patch-mode perceptual loss, 1e-3 weighted (utils.py:595-603)
-            ps = int(np.sqrt(inds.shape[0]))
-            pred_img = out["image"].reshape(ps, ps, 3)
-            gt_img = gt.reshape(ps, ps, 3)
-            loss = loss + 1e-3 * patch_lpips_fn(pred_img, gt_img)
+        if patch_lpips_fn is not None and patch_size > 1:
+            # patch-mode perceptual loss, 1e-3 weighted (utils.py:595-603).
+            # The provider samples num_rays/patch_size^2 *independent*
+            # patches at random screen locations, so the perceptual
+            # distance runs per patch ([-1, ps, ps, 3] like the reference),
+            # never across unrelated patch boundaries.
+            ps = patch_size
+            pred_p = out["image"].reshape(-1, ps, ps, 3)
+            gt_p = gt.reshape(-1, ps, ps, 3)
+            ploss = jnp.mean(jax.vmap(patch_lpips_fn)(pred_p, gt_p))
+            loss = loss + 1e-3 * ploss
         return loss, (per_ray, out)
 
-    (loss, (per_ray, out)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
+    if mesh is None:
+        (loss, (per_ray, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, occupancy, rays_o, rays_d, gt, bg, depth_target,
+          k_render)
+        n_samples = out["n_samples"]
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        has_dt = depth_target is not None
+
+        def sharded_grads(params, occupancy, rays_o, rays_d, gt, bg, dt,
+                          key):
+            # decorrelate march perturbation across shards
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            (loss, (per_ray, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, occupancy, rays_o, rays_d, gt, bg,
+              dt if has_dt else None, key)
+            # equal shard sizes: the global mean-loss gradient is the mean
+            # of per-shard gradients (DDP all-reduce semantics)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            return loss, per_ray, out["n_samples"], grads
+
+        dt = depth_target if has_dt else jnp.zeros_like(rays_o[:, 0])
+        # check_vma=False: pallas_call outputs don't declare varying-mesh
+        # annotations, and the scatter kernel runs inside the backward here
+        loss, per_ray, n_samples, grads = shard_map(
+            sharded_grads, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data"),
+                      P("data"), P()),
+            out_specs=(P(), P("data"), P("data"), P()),
+            check_vma=False,
+        )(state.params, occupancy, rays_o, rays_d, gt, bg, dt, k_render)
 
     updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
@@ -118,8 +165,7 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
         params=new_params, opt_state=new_opt_state, ema_params=new_ema,
         step=state.step + 1,
     )
-    aux = {"loss": loss, "per_ray_error": per_ray,
-           "n_samples": out["n_samples"]}
+    aux = {"loss": loss, "per_ray_error": per_ray, "n_samples": n_samples}
     return new_state, aux
 
 
@@ -222,6 +268,7 @@ class Trainer:
         # patch-mode perceptual loss (utils.py:595-603): active only when
         # rays are sampled as patches AND local VGG weights exist; degrades
         # to None otherwise (vgg.py docstring)
+        self.patch_size = patch_size
         self.patch_lpips_fn = None
         if patch_size > 1:
             try:
@@ -290,7 +337,7 @@ class Trainer:
             render_cfg=self.render_cfg, optimizer=self.optimizer,
             ema_decay=self.ema_decay, has_alpha=has_alpha,
             bg_white=self.bg_white, H=batch["H"], W=batch["W"],
-            patch_lpips_fn=self.patch_lpips_fn,
+            patch_lpips_fn=self.patch_lpips_fn, patch_size=self.patch_size,
         )
         self.global_step += 1
         return aux
@@ -312,7 +359,7 @@ class Trainer:
             ema_decay=self.ema_decay, has_alpha=has_alpha,
             bg_white=self.bg_white, H=batch["H"], W=batch["W"],
             distill=True, depth_target=depth_target,
-            patch_lpips_fn=self.patch_lpips_fn,
+            patch_lpips_fn=self.patch_lpips_fn, patch_size=self.patch_size,
         )
         self.global_step += 1
         return aux
@@ -433,7 +480,12 @@ class Trainer:
         activates automatically when local VGG weights exist."""
         from .metrics import LPIPSMeter
 
-        pm, sm, lm = psnr_meter(), ssim_meter(), LPIPSMeter()
+        # LPIPSMeter is cached: constructing it builds (and jits) a fresh
+        # VGG graph, which would otherwise recompile on every evaluate call
+        if not hasattr(self, "_lpips_meter"):
+            self._lpips_meter = LPIPSMeter()
+        pm, sm, lm = psnr_meter(), ssim_meter(), self._lpips_meter
+        lm.clear()
         n = len(dataset) if max_views is None else min(max_views, len(dataset))
         for i in range(n):
             img, _ = self.render_image(dataset.poses[i], dataset.intrinsics,

@@ -254,7 +254,8 @@ def test_skip_field_empty_and_full():
 
     empty = jnp.zeros((1, 16, 16, 16), jnp.uint8)
     f = np.asarray(build_skip_field(empty))
-    assert (f == SKIP_LEVELS + 1).all() or (f >= 2).all()
+    # an empty grid must saturate at the top level everywhere
+    assert (f == SKIP_LEVELS).all()
     full = jnp.ones((1, 16, 16, 16), jnp.uint8)
     f = np.asarray(build_skip_field(full))
     assert (f == 0).all()

