@@ -42,9 +42,10 @@ def main():
 
     # max_steps=256 keeps dt coarse enough that the march budget covers the
     # whole [near, far] range, which is what lets the occupancy grid prune
-    # (see docs/DESIGN.md); paired_gather halves XLA gather rows.
+    # (see docs/DESIGN.md); octo_gather+bf16 defaults fetch each cell's 8
+    # corners as one bf16 row (ops/hashgrid).
     model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
-                           log2_hashmap_size=19, paired_gather=True)
+                           log2_hashmap_size=19)
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
                               m_cap_per_ray=16, density_thresh=10.0,

@@ -41,6 +41,10 @@ class LAENeRFConfig:
     # TPU row-gather layout (ops/hashgrid): halves encoder gather rows;
     # measured 317 -> 217 ms/style-step on the 800x800 recolor workload
     paired_gather: bool = True
+    # one [8C]-row gather per (sample, level): 4x fewer rows than paired
+    # in the forward and 4x fewer scatter rows in the backward (ops/hashgrid)
+    octo_gather: bool = True
+    gather_dtype: str = "bf16"  # byte-bound gathers: half the traffic
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -51,6 +55,8 @@ class LAENeRFConfig:
             base_resolution=self.base_resolution,
             log2_hashmap_size=self.log2_hashmap_size,
             paired_gather=self.paired_gather,
+            octo_gather=self.octo_gather,
+            gather_dtype=self.gather_dtype,
         )
 
     @property

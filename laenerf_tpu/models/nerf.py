@@ -41,6 +41,11 @@ class NeRFConfig:
     base_resolution: int = 16
     log2_hashmap_size: int = 19
     paired_gather: bool = False  # TPU row-gather optimization (ops/hashgrid)
+    # default layout: all 8 cell corners in one gathered row, fetched in
+    # bf16 (XLA row gathers are byte-bound; the reference's -O mode likewise
+    # stores tables at half precision, gridencoder/grid.py:119)
+    octo_gather: bool = True
+    gather_dtype: str = "bf16"  # "bf16" halves byte-bound gather traffic
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -51,6 +56,8 @@ class NeRFConfig:
             base_resolution=self.base_resolution,
             log2_hashmap_size=self.log2_hashmap_size,
             paired_gather=self.paired_gather,
+            octo_gather=self.octo_gather,
+            gather_dtype=self.gather_dtype,
         )
 
     @property
@@ -106,8 +113,11 @@ def nerf_density(params, cfg: NeRFConfig, x):
     Returns:
       dict(sigma=[N], geo_feat=[N, geo_feat_dim]).
     """
+    # "encoder_view" is an optional prebuilt octo view injected by render
+    # paths so per-round/per-chunk evals skip the view rebuild (ops/hashgrid)
     feats = hashgrid_encode(params["encoder"], x, cfg.grid_spec,
-                            bound=cfg.bound)
+                            bound=cfg.bound,
+                            view=params.get("encoder_view"))
     h = mlp_apply(params["sigma_net"], feats)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}

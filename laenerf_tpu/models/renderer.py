@@ -23,10 +23,23 @@ import jax.numpy as jnp
 
 from ..ops.compaction import compact_samples, gather_flat, scatter_back  # noqa: F401
 from ..ops.composite import composite_chunk, composite_rays_train
+from ..ops.hashgrid import octo_view
 from ..ops.raymarch import (MarchConfig, build_skip_field, make_march_event,
                             march_rays_train, near_far_from_aabb,
                             sample_positions, sph_from_ray)
 from .nerf import NeRFConfig, nerf_background, nerf_forward
+
+
+def _with_encoder_view(params, model_cfg: NeRFConfig):
+    """Inject the prebuilt octo gather view (ops/hashgrid.octo_view) into the
+    param pytree so network evals inside while_loop bodies never rebuild it.
+    No-op unless the spec uses octo_gather or a view is already present
+    (callers like Trainer.render_image inject one per *frame*)."""
+    spec = model_cfg.grid_spec
+    if spec.octo_gather and "encoder_view" not in params:
+        params = dict(params,
+                      encoder_view=octo_view(params["encoder"], spec))
+    return params
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +65,11 @@ class RenderConfig:
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
     infer_compact_factor: int = 4
+    # per-round RAY compaction: alive rays are re-packed to the front and
+    # the whole round (march + eval + composite) runs at a static capacity
+    # tier of N / 4^k, k < this (the direct analogue of the reference's
+    # rays_alive compaction between rounds, renderer.py:375). 1 disables.
+    infer_ray_tiers: int = 3
 
     @property
     def march_cfg(self) -> MarchConfig:
@@ -202,16 +220,11 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
 
     # Static shapes mean a compacted eval costs its *capacity*, not the
     # actual sample count — so pick among capacity tiers at runtime with
-    # lax.switch (only the chosen branch executes). Mostly-empty rounds
-    # (background tiles, late rounds with few alive rays) run the smallest
-    # tier; the occasional overflow just rewinds.
+    # lax.switch (only the chosen branch executes). Two tiers suffice now
+    # that ray-level compaction absorbs the mostly-dead case (round 2's
+    # deeper ladder multiplied compiles for little gain once rays re-pack).
     base = (N * K) // factor
-    caps = [base]
-    c = base // 4
-    while c >= 1024:
-        caps.append(c)
-        c //= 4
-    caps = sorted(set(caps))  # ascending; late rounds hit the tiny tiers
+    caps = sorted({max(base // 4, 1024), base})
 
     n_valid = jnp.sum(valid)
     bucket = jnp.searchsorted(jnp.array(caps), n_valid, side="left")
@@ -250,11 +263,19 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
                       bg_color=None, perturb: bool = False):
     """Inference-path rendering (renderer.py:336-392) as a while_loop.
 
+    Each round first re-packs the alive rays to the front and runs the
+    entire round (march scan + compacted network eval + composite) at a
+    static ray-capacity tier of N / 4^k picked from the live count — the
+    XLA analogue of the reference's `rays_alive = rays_alive[rays_alive >=
+    0]` compaction (renderer.py:375): once most rays terminate, later
+    rounds march and evaluate a fraction of the chunk.
+
     Returns dict(image [N,3], depth [N], weights_sum [N], nears [N]).
     """
     N = rays_o.shape[0]
     cfg = render_cfg.march_cfg
     K = render_cfg.infer_chunk_events
+    params = _with_encoder_view(params, model_cfg)
     aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
                                      render_cfg.min_near)
@@ -263,18 +284,15 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
     skip_flat = build_skip_field(occupancy).reshape(-1)
-    event = make_march_event(rays_o, rays_d, skip_flat, None, cfg)
 
-    def march_round(t):
-        """March K events for every ray; returns per-round padded samples."""
-        def step(tc, _):
-            t_next, (ts_s, dt_s, occ, _) = event(tc)
-            done = tc >= fars
-            t_next = jnp.where(done, tc, t_next)
-            return t_next, (ts_s, dt_s, occ & ~done)
-
-        t_new, (ts, dt, occ) = jax.lax.scan(step, t, None, length=K)
-        return t_new, ts.T, dt.T, occ.T  # [N, K]
+    # ascending ray-capacity tiers: N, N/4, N/16, ... (floor 2048)
+    ray_caps = [N]
+    for _ in range(max(render_cfg.infer_ray_tiers, 1) - 1):
+        c = ray_caps[-1] // 4
+        if c < 2048 or c == ray_caps[-1]:
+            break
+        ray_caps.append(c)
+    ray_caps = sorted(set(ray_caps))
 
     init = {
         "t": t0,
@@ -296,15 +314,64 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         return jnp.any(alive) & (c["round"] < max_rounds)
 
     def body(c):
-        t_new, ts, dt, valid = march_round(c["t"])
-        # never evaluate the network on dead rays or skip events
-        valid = valid & (c["acc"]["T"] >= render_cfg.t_thresh)[:, None]
-        sig, rgb, valid, t_new = _eval_compacted(
-            params, model_cfg, render_cfg, rays_o, rays_d, ts, valid, t_new,
-            N, K)
-        acc = composite_chunk(c["acc"], sig, rgb, dt, ts, valid, t0,
-                              render_cfg.t_thresh)
-        return {"t": t_new, "acc": acc, "round": c["round"] + 1}
+        t, acc = c["t"], c["acc"]
+        alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
+        n_alive = jnp.sum(alive)
+        # order-preserving compaction mapping (shared by every tier)
+        pos = jnp.cumsum(alive) - 1  # [N]
+        order = jnp.argsort(~alive, stable=True)  # alive ids first
+
+        def round_at(A):
+            def fn(_):
+                ids = order[:A] if A < N else order
+                mask = jnp.arange(A, dtype=jnp.int32) < n_alive
+                ro = jnp.take(rays_o, ids, axis=0)
+                rd = jnp.take(rays_d, ids, axis=0)
+                fars_a = jnp.take(fars, ids)
+                t0_a = jnp.take(t0, ids)
+                t_a = jnp.take(t, ids)
+                acc_a = jax.tree.map(lambda s: jnp.take(s, ids, axis=0),
+                                     acc)
+                event = make_march_event(ro, rd, skip_flat, None, cfg)
+
+                def step(tc, _):
+                    t_next, (ts_s, dt_s, occ, _) = event(tc)
+                    done = tc >= fars_a
+                    t_next = jnp.where(done, tc, t_next)
+                    return t_next, (ts_s, dt_s, occ & ~done)
+
+                t_new, (ts, dt, occ) = jax.lax.scan(step, t_a, None,
+                                                    length=K)
+                ts, dt, occ = ts.T, dt.T, occ.T  # [A, K]
+                valid = occ & mask[:, None] \
+                    & (acc_a["T"] >= render_cfg.t_thresh)[:, None]
+                sig, rgb, valid, t_new = _eval_compacted(
+                    params, model_cfg, render_cfg, ro, rd, ts, valid,
+                    t_new, A, K)
+                acc_new = composite_chunk(acc_a, sig, rgb, dt, ts, valid,
+                                          t0_a, render_cfg.t_thresh)
+                # scatter the tier results back into the [N] state
+                dest = jnp.where(alive & (pos < A), pos, A).astype(jnp.int32)
+                taken = dest < A
+                safe = jnp.minimum(dest, A - 1)
+
+                def put(new, old):
+                    g = jnp.take(new, safe, axis=0)
+                    m = taken.reshape((N,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, g, old)
+
+                return (put(t_new, t), jax.tree.map(put, acc_new, acc))
+            return fn
+
+        if len(ray_caps) == 1:
+            t_out, acc_out = round_at(N)(None)
+        else:
+            bucket = jnp.minimum(
+                jnp.searchsorted(jnp.array(ray_caps), n_alive, side="left"),
+                len(ray_caps) - 1)
+            t_out, acc_out = jax.lax.switch(
+                bucket, [round_at(a) for a in ray_caps], None)
+        return {"t": t_out, "acc": acc_out, "round": c["round"] + 1}
 
     out = jax.lax.while_loop(cond, body, init)
     acc = out["acc"]
@@ -340,6 +407,7 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
     N = rays_o.shape[0]
     cfg = render_cfg.march_cfg
     K = render_cfg.infer_chunk_events
+    params = _with_encoder_view(params, model_cfg)
     aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
                                      render_cfg.min_near)

@@ -50,6 +50,20 @@ class HashGridSpec:
     # have x-stride 1. Quality-neutral in practice (instant-ngp notes the
     # exact hash barely matters, gridencoder.cu:77-78).
     paired_gather: bool = False
+    # Stronger variant: ALL 8 corners of a cell in ONE [8C] row from an
+    # 8-wide overlapped view. Requires a fully additive per-level layout
+    # idx = (x + sy*y + sz*z) mod size, so hashed levels become a linear
+    # lattice hash with large odd strides (a pseudo-random variant of the
+    # reference's "tiled" gridtype, gridencoder.cu:66-84). Dense levels keep
+    # their exact strided indexing. 4x fewer gather rows than paired in the
+    # forward AND 4x fewer scatter rows in the backward. Hashed level sizes
+    # must be a power of two (true for gridtype="hash": min(2^H, ...)).
+    octo_gather: bool = False
+    # Cast the gathered source (table/overlapped view) to this dtype before
+    # the gather. XLA's TPU row gather is byte-throughput-bound (~5.5 GB/s
+    # effective, measured perf/microbench row sweep), so "bf16" nearly
+    # halves encoder gather time; interpolation stays in f32/compute_dtype.
+    gather_dtype: str = "f32"  # "f32" | "bf16"
 
     @staticmethod
     def create(desired_resolution=None, **kwargs) -> "HashGridSpec":
@@ -194,6 +208,75 @@ def _pair_base_indices(spec: HashGridSpec, level: int, coords):
     return index.astype(jnp.int32) + spec.level_offsets[level]
 
 
+def _octo_strides(spec: HashGridSpec, level: int):
+    """Per-level (sy, sz) row strides for the fully additive octo layout.
+
+    Dense levels keep the exact strided indexing of _corner_indices
+    (x-major: 1, stride_base, stride_base^2). Hashed levels use large odd
+    strides reduced mod the (power-of-two) level size — a linear lattice
+    hash. Additivity survives uint32 overflow because the level size
+    divides 2^32.
+    """
+    D = spec.input_dim
+    res = spec.level_resolutions[level]
+    size = spec.level_sizes[level]
+    stride_base = res if spec.align_corners else res + 1
+    if stride_base ** D <= size or spec.gridtype != "hash":
+        return stride_base, stride_base * stride_base
+    assert size & (size - 1) == 0, (
+        "octo_gather requires power-of-two hashed level sizes")
+    return int(_PRIMES[1] % size) | 1, int(_PRIMES[2] % size) | 1
+
+
+def _octo_corner_offsets(spec: HashGridSpec, level: int):
+    """Row offsets of the 8 cell corners relative to the (0,0,0) corner,
+    in corner order c = dx + 2*dy + 4*dz."""
+    sy, sz = _octo_strides(spec, level)
+    size = spec.level_sizes[level]
+    return [((c & 1) + sy * ((c >> 1) & 1) + sz * ((c >> 2) & 1)) % size
+            for c in range(8)]
+
+
+def octo_view(table, spec: HashGridSpec):
+    """Build the [T, 8C] overlapped view: row i of level l holds the
+    features of all 8 corners of the cell whose base corner is row i.
+
+    Pure rolls + concats (bandwidth-bound, ~1 ms at the 2.9M-row training
+    table); autodiff folds the view gradient back onto the base table as 8
+    rolled adds. The view is emitted in spec.gather_dtype (XLA row gathers
+    are byte-bound, so a bf16 view halves encoder gather time).
+
+    Inference callers should build this ONCE per frame/step and pass it to
+    hashgrid_encode(view=...) so per-chunk calls skip the rebuild.
+    """
+    if spec.gather_dtype == "bf16":
+        table = table.astype(jnp.bfloat16)
+    parts = []
+    for level in range(spec.num_levels):
+        off = spec.level_offsets[level]
+        size = spec.level_sizes[level]
+        tbl_l = jax.lax.dynamic_slice_in_dim(table, off, size, axis=0)
+        offs = _octo_corner_offsets(spec, level)
+        parts.append(jnp.concatenate(
+            [jnp.roll(tbl_l, -o, axis=0) for o in offs], axis=1))
+    return jnp.concatenate(parts, axis=0)
+
+
+# jitted entry for per-frame callers (Trainer.render_image etc.); spec is
+# hashable (frozen dataclass) so it compiles once per grid configuration
+octo_view_jit = jax.jit(octo_view, static_argnames="spec")
+
+
+def _octo_base_indices(spec: HashGridSpec, level: int, coords):
+    """Row of the (0,0,0) corner under the additive octo layout."""
+    size = spec.level_sizes[level]
+    sy, sz = _octo_strides(spec, level)
+    c = coords.astype(jnp.uint32)
+    index = c[..., 0] + c[..., 1] * jnp.uint32(sy) + c[..., 2] * jnp.uint32(sz)
+    index = index % jnp.uint32(size)
+    return index.astype(jnp.int32) + spec.level_offsets[level]
+
+
 def _corner_indices(spec: HashGridSpec, level: int, corner_coords):
     """Map integer corner coords [..., D] to table row indices for a level.
 
@@ -223,7 +306,7 @@ def _corner_indices(spec: HashGridSpec, level: int, corner_coords):
 
 
 def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
-                    compute_dtype=None):
+                    compute_dtype=None, view=None):
     """Encode positions with the multi-resolution grid.
 
     Args:
@@ -232,6 +315,8 @@ def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
       spec: static grid configuration.
       bound: half side length of the domain.
       compute_dtype: optional dtype for the interpolation math (e.g. bf16).
+      view: optional prebuilt octo_view(table, spec) — lets render chunks
+        skip the per-call view rebuild (octo_gather only).
 
     Returns:
       [..., num_levels * level_dim] features, dtype = compute_dtype or table's.
@@ -248,6 +333,8 @@ def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
     u = (x.astype(jnp.float32) + bound) / (2.0 * bound)  # [B, D] in [0, 1]
     oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)  # [B]
 
+    if spec.octo_gather and D == 3:
+        return _encode_octo(table, u, oob, spec, prefix, compute_dtype, view)
     if spec.paired_gather and D == 3:
         return _encode_paired(table, u, oob, spec, prefix, compute_dtype)
 
@@ -275,10 +362,13 @@ def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
     idx = jnp.stack(all_idx, axis=1)  # [B, L*2^D]
     w = jnp.stack(all_w, axis=1)  # [B, L*2^D]
 
-    vals = _gather_rows(table, idx)  # [B, L*2^D, C]
-    if compute_dtype is not None:
-        vals = vals.astype(compute_dtype)
-        w = w.astype(compute_dtype)
+    src = (table.astype(jnp.bfloat16) if spec.gather_dtype == "bf16"
+           else table)
+    vals = _gather_rows(src, idx)  # [B, L*2^D, C]
+    out_dtype = compute_dtype if compute_dtype is not None else table.dtype
+    if vals.dtype != out_dtype:
+        vals = vals.astype(out_dtype)
+    w = w.astype(out_dtype)
     out = jnp.einsum("bk,bkc->bkc", w, vals)
     out = out.reshape(B, L, n_corners, C).sum(axis=2)  # [B, L, C]
     out = jnp.where(oob[:, None, None], 0.0, out)
@@ -290,8 +380,11 @@ def _encode_paired(table, u, oob, spec: HashGridSpec, prefix, compute_dtype):
     overlapped view where row i = [table[i], table[i+1]]."""
     B = u.shape[0]
     L, C = spec.num_levels, spec.level_dim
+    out_dtype = compute_dtype if compute_dtype is not None else table.dtype
     # overlapped view (one roll + concat per call; autodiff folds the
     # gradient back onto the base table)
+    if spec.gather_dtype == "bf16":
+        table = table.astype(jnp.bfloat16)
     table2 = jnp.concatenate([table, jnp.roll(table, -1, axis=0)], axis=1)
 
     all_idx, all_w0, all_w1 = [], [], []
@@ -318,12 +411,59 @@ def _encode_paired(table, u, oob, spec: HashGridSpec, prefix, compute_dtype):
     w1 = jnp.stack(all_w1, axis=1)
 
     vals = _gather_rows(table2, idx)  # [B, L*4, 2C]
-    if compute_dtype is not None:
-        vals = vals.astype(compute_dtype)
-        w0 = w0.astype(compute_dtype)
-        w1 = w1.astype(compute_dtype)
+    if vals.dtype != out_dtype:
+        vals = vals.astype(out_dtype)
+    w0 = w0.astype(out_dtype)
+    w1 = w1.astype(out_dtype)
     out = (w0[..., None] * vals[..., :C] + w1[..., None] * vals[..., C:])
     out = out.reshape(B, L, 4, C).sum(axis=2)
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(prefix + (L * C,))
+
+
+def _encode_octo(table, u, oob, spec: HashGridSpec, prefix, compute_dtype,
+                 view=None):
+    """Octo-corner path: ONE gather of an [8C] row per (sample, level) from
+    the 8-wide overlapped view (octo_view). XLA row gathers are
+    byte-throughput-bound, so the win comes from spec.gather_dtype="bf16"
+    (half the bytes) plus 4x fewer scatter rows in the backward."""
+    B = u.shape[0]
+    L, C = spec.num_levels, spec.level_dim
+    if view is None:
+        view = octo_view(table, spec)  # [T, 8C]
+
+    all_idx, all_w = [], []
+    for level in range(L):
+        scale = spec.level_scales[level]
+        pos = u * scale + (0.0 if spec.align_corners else 0.5)
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        pos_grid = pos_grid.astype(jnp.int32)
+        all_idx.append(_octo_base_indices(spec, level, pos_grid))
+
+        # corner order c = dx + 2*dy + 4*dz matches _octo_corner_offsets
+        ws = []
+        for c in range(8):
+            w = jnp.ones((B,), jnp.float32)
+            for d in range(3):
+                w = w * (frac[:, d] if (c >> d) & 1 else 1.0 - frac[:, d])
+            ws.append(w)
+        all_w.append(jnp.stack(ws, axis=-1))  # [B, 8]
+
+    idx = jnp.stack(all_idx, axis=1)  # [B, L]
+    w = jnp.stack(all_w, axis=1)  # [B, L, 8]
+
+    vals = _gather_rows(view, idx)  # [B, L, 8C]
+    out_dtype = compute_dtype if compute_dtype is not None else table.dtype
+    if vals.dtype != out_dtype:
+        vals = vals.astype(out_dtype)
+    w = w.astype(out_dtype)
+    vals = vals.reshape(B, L, 8, C)
+    # elementwise multiply-reduce, NOT an einsum: a [B]-batched [1,8]@[8,C]
+    # dot_general is pathological for the TPU compiler at render batch sizes
+    out = jnp.sum(w[..., None] * vals, axis=2)  # [B, L, C]
     out = jnp.where(oob[:, None, None], 0.0, out)
     return out.reshape(prefix + (L * C,))
 

@@ -38,6 +38,12 @@ def dp_render_image(mesh, params, occupancy, pose, intrinsics, H, W, *,
     rays_d = jax.device_put(rays_d, shard)
     params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
     occupancy = jax.device_put(occupancy, rep)
+    spec = model_cfg.grid_spec
+    if spec.octo_gather and "encoder_view" not in params:
+        # one replicated view build per image (ops/hashgrid.octo_view)
+        from ..ops.hashgrid import octo_view_jit
+        params = dict(params, encoder_view=octo_view_jit(params["encoder"],
+                                                         spec=spec))
 
     out = render_rays_infer(params, occupancy, rays_o, rays_d, key,
                             model_cfg=model_cfg, render_cfg=render_cfg,

@@ -160,13 +160,15 @@ class EditPipeline:
                     "active": self.style_trainer.active}
             tree, meta = load_pytree(cfg.style_enc_path, like)
             # honor the table layout the weights were trained under
-            # (pre-meta checkpoints default to the paired layout, which has
-            # been the LAENeRFConfig default since it landed)
-            saved_layout = bool(meta.get("paired_gather",
-                                         self.laenerf_cfg.paired_gather))
-            if saved_layout != self.laenerf_cfg.paired_gather:
+            # (pre-meta checkpoints predate octo_gather and default to the
+            # then-default paired f32 layout)
+            saved = {"paired_gather": bool(meta.get("paired_gather", True)),
+                     "octo_gather": bool(meta.get("octo_gather", False)),
+                     "gather_dtype": str(meta.get("gather_dtype", "f32"))}
+            if any(getattr(self.laenerf_cfg, k) != v
+                   for k, v in saved.items()):
                 self.laenerf_cfg = dataclasses.replace(
-                    self.laenerf_cfg, paired_gather=saved_layout)
+                    self.laenerf_cfg, **saved)
                 self.style_trainer.set_config(self.laenerf_cfg)
             self.style_trainer.params = tree["params"]
             self.style_trainer.active = tree["active"]
@@ -242,7 +244,9 @@ class EditPipeline:
         # silently decodes garbage features (ADVICE r2)
         save_pytree(os.path.join(self.workspace, "style_enc.npz"),
                     {"params": st.params, "active": st.active},
-                    meta={"paired_gather": self.laenerf_cfg.paired_gather})
+                    meta={"paired_gather": self.laenerf_cfg.paired_gather,
+                          "octo_gather": self.laenerf_cfg.octo_gather,
+                          "gather_dtype": self.laenerf_cfg.gather_dtype})
         np.savez(os.path.join(self.workspace, "palet_og.npz"),
                  palette=self.original_palette,
                  active=np.asarray(st.active))
@@ -436,7 +440,9 @@ def run_npr_pipeline(trainer, dataset, ref_npr_config: str, workspace: str,
     timer.stop("train_style_enc")
     save_pytree(os.path.join(workspace, "style_enc.npz"),
                 {"params": npr_tr.params, "active": npr_tr.active},
-                meta={"paired_gather": lcfg.paired_gather})
+                meta={"paired_gather": lcfg.paired_gather,
+                      "octo_gather": lcfg.octo_gather,
+                      "gather_dtype": lcfg.gather_dtype})
 
     timer.start("distill_dataset")
     npr_views = build_npr_nerf_dataset(

@@ -433,6 +433,14 @@ class Trainer:
                      use_ema: bool = True):
         """Render a full image with the inference path, chunked over rays."""
         params = self.state.ema_params if use_ema else self.state.params
+        spec = self.model_cfg.grid_spec
+        if spec.octo_gather:
+            # build the octo gather view ONCE per frame; every chunk's
+            # render_rays_infer call then skips the rebuild (ops/hashgrid)
+            from ..ops.hashgrid import octo_view_jit
+            params = dict(params,
+                          encoder_view=octo_view_jit(params["encoder"],
+                                                     spec=spec))
         rays_o, rays_d = pixel_rays(jnp.asarray(pose),
                                     jnp.asarray(intrinsics), H, W)
         n = H * W

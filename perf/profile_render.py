@@ -33,9 +33,11 @@ from laenerf_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 
-CACHE = "/tmp/laenerf_warm"
+# cache dir is layout-suffixed: a checkpoint trained under one gather
+# layout decodes garbage under another (ops/hashgrid)
 model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
-                       log2_hashmap_size=19, paired_gather=True)
+                       log2_hashmap_size=19)
+CACHE = "/tmp/laenerf_warm_octo" if model_cfg.octo_gather else "/tmp/laenerf_warm"
 
 
 def make_render_cfg(**kw):

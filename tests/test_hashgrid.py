@@ -182,3 +182,69 @@ def test_paired_gather_trains_equivalently():
     assert float(jnp.abs(a - b).max()) < 0.1  # continuous
     g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x, spec) ** 2))(table)
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_octo_gather_matches_dense_levels():
+    """Dense levels under the octo layout keep exact strided indexing, so
+    the encoding must be bit-identical to the plain path."""
+    import dataclasses
+
+    spec = HashGridSpec.create(desired_resolution=16, num_levels=3,
+                               level_dim=2, base_resolution=4,
+                               log2_hashmap_size=19)
+    spec_o = dataclasses.replace(spec, octo_gather=True)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (spec.table_rows, 2))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-1,
+                           maxval=1)
+    a = hashgrid_encode(table, x, spec)
+    b = hashgrid_encode(table, x, spec_o)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_octo_gather_grads_and_continuity():
+    """Hashed levels use the additive lattice hash: outputs must stay
+    continuous in the input and gradients must reach the base table
+    (through the 8-wide overlapped view's roll/concat transpose)."""
+    spec = HashGridSpec.create(desired_resolution=256, num_levels=5,
+                               level_dim=2, base_resolution=8,
+                               log2_hashmap_size=10, octo_gather=True)
+    table = jax.random.normal(jax.random.PRNGKey(0), (spec.table_rows, 2))
+    x = jnp.array([[0.1, 0.2, 0.3], [-0.4, 0.5, -0.6]])
+    eps = 1e-4
+    a = hashgrid_encode(table, x, spec)
+    b = hashgrid_encode(table, x + eps, spec)
+    assert float(jnp.abs(a - b).max()) < 0.1  # continuous
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x, spec) ** 2))(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    # numeric gradient check against the analytic one on touched rows
+    f = lambda t: float(jnp.sum(hashgrid_encode(t, x, spec) ** 2))
+    r = int(np.argmax(np.abs(np.asarray(g[:, 0]))))
+    e = 1e-3
+    fd = (f(table.at[r, 0].add(e)) - f(table.at[r, 0].add(-e))) / (2 * e)
+    np.testing.assert_allclose(fd, float(g[r, 0]), rtol=1e-2, atol=1e-5)
+
+
+def test_octo_corner_offsets_additive():
+    """idx(x+dx, y+dy, z+dz) == (base + offset_c) mod size for every level
+    type (the property the 8-wide overlapped view relies on)."""
+    from laenerf_tpu.ops.hashgrid import (_octo_base_indices,
+                                          _octo_corner_offsets)
+
+    spec = HashGridSpec.create(desired_resolution=512, num_levels=6,
+                               level_dim=2, base_resolution=4,
+                               log2_hashmap_size=12, octo_gather=True)
+    rng = np.random.RandomState(0)
+    for level in range(spec.num_levels):
+        res = spec.level_resolutions[level]
+        size = spec.level_sizes[level]
+        off = spec.level_offsets[level]
+        coords = jnp.asarray(rng.randint(0, max(res - 1, 1), (32, 3)))
+        base = np.asarray(_octo_base_indices(spec, level, coords)) - off
+        offs = _octo_corner_offsets(spec, level)
+        for c in range(8):
+            d = jnp.array([(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1])
+            idx_c = np.asarray(
+                _octo_base_indices(spec, level, coords + d)) - off
+            np.testing.assert_array_equal(idx_c, (base + offs[c]) % size)
