@@ -142,10 +142,11 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     # (raymarching/raymarching.py:198-203): partial rays still supervise
     # the near content, and random ray sampling rotates which rays
     # truncate. This replaces round 1's N*S/4 top tier, which made every
-    # pre-pruning step pay a 4x network eval.
+    # pre-pruning step pay a 4x network eval. Each tier is a full
+    # encode+MLP+backward graph that costs ~1 min of AOT compile on the
+    # octo path, so the ladder stays at two rungs.
     base_cap = N * render_cfg.m_cap_per_ray
-    caps = sorted({max(base_cap // 4, 1024), max(base_cap // 2, 2048),
-                   base_cap})
+    caps = sorted({max(base_cap // 2, 2048), base_cap})
     n_valid = jnp.sum(valid)
     bucket = jnp.minimum(
         jnp.searchsorted(jnp.array(caps), n_valid, side="left"),
@@ -219,16 +220,12 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
                 rgb.reshape(N, K, 3), valid, t_new)
 
     # Static shapes mean a compacted eval costs its *capacity*, not the
-    # actual sample count — so pick among capacity tiers at runtime with
-    # lax.switch (only the chosen branch executes). Two tiers suffice now
-    # that ray-level compaction absorbs the mostly-dead case (round 2's
-    # deeper ladder multiplied compiles for little gain once rays re-pack).
+    # actual sample count. Ray-level compaction (render_rays_infer) already
+    # absorbs the mostly-dead case by shrinking N itself, so a single
+    # capacity suffices per ray tier — every extra rung is another full
+    # encode+MLP graph to AOT-compile (~1 min each on the octo path).
     base = (N * K) // factor
-    caps = sorted({max(base // 4, 1024), base})
-
-    n_valid = jnp.sum(valid)
-    bucket = jnp.searchsorted(jnp.array(caps), n_valid, side="left")
-    bucket = jnp.minimum(bucket, len(caps) - 1)
+    caps = [base]
 
     def eval_at_cap(m_cap):
         def fn(_):
@@ -254,6 +251,11 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
             return sig, rgb, valid_eval, t_next
         return fn
 
+    if len(caps) == 1:
+        return eval_at_cap(caps[0])(None)
+    n_valid = jnp.sum(valid)
+    bucket = jnp.searchsorted(jnp.array(caps), n_valid, side="left")
+    bucket = jnp.minimum(bucket, len(caps) - 1)
     return jax.lax.switch(bucket, [eval_at_cap(c) for c in caps], None)
 
 

@@ -364,7 +364,10 @@ def hashgrid_encode(table, x, spec: HashGridSpec, bound: float = 1.0,
 
     src = (table.astype(jnp.bfloat16) if spec.gather_dtype == "bf16"
            else table)
-    vals = _gather_rows(src, idx)  # [B, L*2^D, C]
+    # flat 1-D index gather (2-D-index gathers compile pathologically
+    # slowly on this toolchain's remote AOT compiler)
+    vals = _gather_rows(src, idx.reshape(-1)).reshape(
+        B, L * n_corners, C)  # [B, L*2^D, C]
     out_dtype = compute_dtype if compute_dtype is not None else table.dtype
     if vals.dtype != out_dtype:
         vals = vals.astype(out_dtype)
@@ -410,7 +413,8 @@ def _encode_paired(table, u, oob, spec: HashGridSpec, prefix, compute_dtype):
     w0 = jnp.stack(all_w0, axis=1)
     w1 = jnp.stack(all_w1, axis=1)
 
-    vals = _gather_rows(table2, idx)  # [B, L*4, 2C]
+    vals = _gather_rows(table2, idx.reshape(-1)).reshape(
+        B, L * 4, 2 * C)  # [B, L*4, 2C]
     if vals.dtype != out_dtype:
         vals = vals.astype(out_dtype)
     w0 = w0.astype(out_dtype)
@@ -455,7 +459,9 @@ def _encode_octo(table, u, oob, spec: HashGridSpec, prefix, compute_dtype,
     idx = jnp.stack(all_idx, axis=1)  # [B, L]
     w = jnp.stack(all_w, axis=1)  # [B, L, 8]
 
-    vals = _gather_rows(view, idx)  # [B, L, 8C]
+    # flat 1-D index gather: the 2-D-index formulation compiles ~10x
+    # slower on this toolchain's remote AOT compiler (measured)
+    vals = _gather_rows(view, idx.reshape(-1)).reshape(B, L, 8 * C)
     out_dtype = compute_dtype if compute_dtype is not None else table.dtype
     if vals.dtype != out_dtype:
         vals = vals.astype(out_dtype)

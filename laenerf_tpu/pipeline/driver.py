@@ -330,9 +330,10 @@ class EditPipeline:
                    video_dataset=None, log_fn=print):
         tr = self.trainer
         results = {}
-        # train-set PSNR after distillation (gui.py:839-847)
+        # train-set PSNR after distillation, over the FULL train split like
+        # the reference (gui.py:839-847)
         psnrs = []
-        for i in range(min(len(self.dataset), 8)):
+        for i in range(len(self.dataset)):
             img, _ = tr.render_image(self.dataset.poses[i],
                                      self.dataset.intrinsics,
                                      self.dataset.H, self.dataset.W)
