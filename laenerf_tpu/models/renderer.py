@@ -60,7 +60,16 @@ class RenderConfig:
     m_cap_per_ray: int = 32  # M_cap = N * this (mean_count analogue)
     # inference path shapes (swept on v5e: K=16/factor=4 with tile-ordered
     # 16-32k chunks maximizes rays/s, perf/profile_render.py)
-    infer_chunk_events: int = 16  # K march events per while_loop round
+    infer_chunk_events: int = 16  # K sample SLOTS per while_loop round
+    # march events per round (>= slots). Most march events are empty-space
+    # skips (traced ~130 events vs ~20-30 samples per object ray at 800^2),
+    # so marching more events than slots and packing only the occupied ones
+    # into the K-slot grid (in-scan one-hot write) cuts the number of
+    # rounds — and with it the per-round eval/composite/dispatch overhead —
+    # without evaluating a single extra sample. Rays that fill every slot
+    # freeze (t rewinds to the overflowing event) and resume next round.
+    # 0 means "same as infer_chunk_events" (no packing).
+    infer_march_events: int = 32
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
@@ -69,7 +78,11 @@ class RenderConfig:
     # the whole round (march + eval + composite) runs at a static capacity
     # tier of N / 4^k, k < this (the direct analogue of the reference's
     # rays_alive compaction between rounds, renderer.py:375). 1 disables.
-    infer_ray_tiers: int = 3
+    # Default OFF: the sample-capacity ladder in _eval_compacted already
+    # absorbs empty rounds (valid-sample count, not alive-ray count, is
+    # what shrinks mid-march), and each extra ray tier multiplies the
+    # branch graphs the AOT compiler must build.
+    infer_ray_tiers: int = 1
 
     @property
     def march_cfg(self) -> MarchConfig:
@@ -81,6 +94,61 @@ class RenderConfig:
             max_steps=self.max_steps,
             march_iters=self.march_iters,
         )
+
+
+def _march_round(event, t, fars, alive, K_slots: int, K_march: int,
+                 with_edit: bool = False):
+    """March up to K_march events, packing occupied samples into K_slots
+    dense per-ray slots (in-scan one-hot writes — a [N, K_slots] select per
+    event, pure VPU work).
+
+    Most march events are empty-space skips, so marching more events than
+    sample slots cuts the number of while_loop rounds (and their fixed
+    eval/composite/dispatch cost) without evaluating extra samples. A ray
+    that fills every slot freezes at the overflowing event (t rewinds so the
+    sample is re-marched next round). With K_march == K_slots this reduces
+    to the plain one-event-per-slot scan.
+
+    Returns (t_next [N], ts [N,Ks], dt [N,Ks], valid [N,Ks], eocc [N,Ks]).
+    """
+    N = t.shape[0]
+    if K_march <= K_slots:
+        def step(tc, _):
+            t_next, (ts_s, dt_s, occ, eocc) = event(tc)
+            done = tc >= fars
+            t_next = jnp.where(done, tc, t_next)
+            return t_next, (ts_s, dt_s, occ & ~done, eocc)
+
+        t_new, (ts, dt, occ, eocc) = jax.lax.scan(step, t, None,
+                                                  length=K_slots)
+        return (t_new, ts.T, dt.T, occ.T & alive[:, None],
+                eocc.T if with_edit else jnp.zeros((N, K_slots), jnp.bool_))
+
+    slots = jnp.arange(K_slots, dtype=jnp.int32)
+    zeros_f = jnp.zeros((N, K_slots), jnp.float32)
+    zeros_b = jnp.zeros((N, K_slots), jnp.bool_)
+
+    def step(carry, _):
+        tc, cnt, ts_b, dt_b, e_b = carry
+        t_next, (ts_s, dt_s, occ, eocc) = event(tc)
+        done = tc >= fars
+        occ = occ & ~done & alive
+        full = occ & (cnt >= K_slots)
+        t_next = jnp.where(done | full, tc, t_next)
+        write = occ & ~full
+        oh = (slots[None, :] == cnt[:, None]) & write[:, None]  # [N, Ks]
+        ts_b = jnp.where(oh, ts_s[:, None], ts_b)
+        dt_b = jnp.where(oh, dt_s[:, None], dt_b)
+        if with_edit:
+            e_b = jnp.where(oh, eocc[:, None], e_b)
+        cnt = cnt + write.astype(jnp.int32)
+        return (t_next, cnt, ts_b, dt_b, e_b), None
+
+    (t_new, cnt, ts, dt, eocc), _ = jax.lax.scan(
+        step, (t, jnp.zeros((N,), jnp.int32), zeros_f, zeros_f, zeros_b),
+        None, length=K_march)
+    valid = slots[None, :] < cnt[:, None]
+    return t_new, ts, dt, valid, eocc
 
 
 def _background(params, model_cfg: NeRFConfig, rays_o, rays_d, bg_color):
@@ -167,8 +235,11 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
             sigmas_c, rgbs_c = network(params, xyz_c, dirs_c)
             sigmas_c = sigmas_c * render_cfg.density_scale
             sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
-            sig = scatter_back(sigmas_c[:, None], dest, (N, S))[..., 0]
-            rgb = scatter_back(rgbs_c, dest, (N, S))
+            # one 4-wide row gather instead of separate sig/rgb gathers
+            both = scatter_back(
+                jnp.concatenate([sigmas_c[:, None], rgbs_c], axis=1), dest,
+                (N, S))
+            sig, rgb = both[..., 0], both[..., 1:]
             # truncate capacity-dropped samples: the ray composites only
             # its evaluated prefix (within-ray order is preserved by the
             # flat-order compaction, so drops are a per-ray suffix)
@@ -220,12 +291,18 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
                 rgb.reshape(N, K, 3), valid, t_new)
 
     # Static shapes mean a compacted eval costs its *capacity*, not the
-    # actual sample count. Ray-level compaction (render_rays_infer) already
-    # absorbs the mostly-dead case by shrinking N itself, so a single
-    # capacity suffices per ray tier — every extra rung is another full
-    # encode+MLP graph to AOT-compile (~1 min each on the octo path).
+    # actual sample count — so pick among geometric capacity tiers at
+    # runtime with lax.switch (only the chosen branch executes). Most
+    # rounds march through mostly-empty space (few VALID samples while all
+    # rays stay alive), so the small rungs dominate: measured 65 -> ~25
+    # ms/round at 32k rays when the ladder was collapsed vs present.
     base = (N * K) // factor
     caps = [base]
+    c = base // 4
+    while c >= 2048:
+        caps.append(c)
+        c //= 4
+    caps = sorted(set(caps))
 
     def eval_at_cap(m_cap):
         def fn(_):
@@ -239,8 +316,12 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
             sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c, rd_c)
             sig_c = jnp.where(gather_mask,
                               sig_c * render_cfg.density_scale, 0.0)
-            sig = scatter_back(sig_c[:, None], dest, (N, K))[..., 0]
-            rgb = scatter_back(rgb_c, dest, (N, K))
+            # one 4-wide row gather instead of separate sig/rgb gathers
+            # (row gathers are latency-bound per row, not per byte)
+            both = scatter_back(
+                jnp.concatenate([sig_c[:, None], rgb_c], axis=1), dest,
+                (N, K))
+            sig, rgb = both[..., 0], both[..., 1:]
             # overflow rewind (within-ray order is preserved by the
             # flat-order compaction, so drops are a per-ray suffix)
             dropped = valid & (dest >= m_cap)
@@ -315,6 +396,24 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
         return jnp.any(alive) & (c["round"] < max_rounds)
 
+    K_march = render_cfg.infer_march_events or K
+    event = make_march_event(rays_o, rays_d, skip_flat, None, cfg)
+
+    def body_single(c):
+        """No-reorder round at full ray capacity (infer_ray_tiers=1): the
+        per-round argsort/takes/scatter of the tiered path cost several
+        ms/round of pure data movement when there is only one tier."""
+        t, acc = c["t"], c["acc"]
+        alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
+        t_new, ts, dt, valid, _ = _march_round(event, t, fars, alive, K,
+                                               K_march)
+        sig, rgb, valid, t_new = _eval_compacted(
+            params, model_cfg, render_cfg, rays_o, rays_d, ts, valid,
+            t_new, N, K)
+        acc_new = composite_chunk(acc, sig, rgb, dt, ts, valid, t0,
+                                  render_cfg.t_thresh)
+        return {"t": t_new, "acc": acc_new, "round": c["round"] + 1}
+
     def body(c):
         t, acc = c["t"], c["acc"]
         alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
@@ -334,19 +433,10 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
                 t_a = jnp.take(t, ids)
                 acc_a = jax.tree.map(lambda s: jnp.take(s, ids, axis=0),
                                      acc)
-                event = make_march_event(ro, rd, skip_flat, None, cfg)
-
-                def step(tc, _):
-                    t_next, (ts_s, dt_s, occ, _) = event(tc)
-                    done = tc >= fars_a
-                    t_next = jnp.where(done, tc, t_next)
-                    return t_next, (ts_s, dt_s, occ & ~done)
-
-                t_new, (ts, dt, occ) = jax.lax.scan(step, t_a, None,
-                                                    length=K)
-                ts, dt, occ = ts.T, dt.T, occ.T  # [A, K]
-                valid = occ & mask[:, None] \
-                    & (acc_a["T"] >= render_cfg.t_thresh)[:, None]
+                tier_event = make_march_event(ro, rd, skip_flat, None, cfg)
+                alive_a = mask & (acc_a["T"] >= render_cfg.t_thresh)
+                t_new, ts, dt, valid, _ = _march_round(
+                    tier_event, t_a, fars_a, alive_a, K, K_march)
                 sig, rgb, valid, t_new = _eval_compacted(
                     params, model_cfg, render_cfg, ro, rd, ts, valid,
                     t_new, A, K)
@@ -365,17 +455,15 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
                 return (put(t_new, t), jax.tree.map(put, acc_new, acc))
             return fn
 
-        if len(ray_caps) == 1:
-            t_out, acc_out = round_at(N)(None)
-        else:
-            bucket = jnp.minimum(
-                jnp.searchsorted(jnp.array(ray_caps), n_alive, side="left"),
-                len(ray_caps) - 1)
-            t_out, acc_out = jax.lax.switch(
-                bucket, [round_at(a) for a in ray_caps], None)
+        bucket = jnp.minimum(
+            jnp.searchsorted(jnp.array(ray_caps), n_alive, side="left"),
+            len(ray_caps) - 1)
+        t_out, acc_out = jax.lax.switch(
+            bucket, [round_at(a) for a in ray_caps], None)
         return {"t": t_out, "acc": acc_out, "round": c["round"] + 1}
 
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(
+        cond, body_single if len(ray_caps) == 1 else body, init)
     acc = out["acc"]
     bg = _background(params, model_cfg, rays_o, rays_d, bg_color)
     image = acc["rgb"] + (1.0 - acc["ws"])[:, None] * bg
@@ -421,16 +509,7 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
     skip_flat = build_skip_field(march_src).reshape(-1)
     edit_flat = edit_grid.reshape(-1)
     event = make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg)
-
-    def march_round(t):
-        def step(tc, _):
-            t_next, (ts_s, dt_s, occ, eocc) = event(tc)
-            done = tc >= fars
-            t_next = jnp.where(done, tc, t_next)
-            return t_next, (ts_s, dt_s, occ & ~done, eocc)
-
-        t_new, (ts, dt, occ, eocc) = jax.lax.scan(step, t, None, length=K)
-        return t_new, ts.T, dt.T, occ.T, eocc.T
+    K_march = render_cfg.infer_march_events or K
 
     zeros = jnp.zeros((N,), jnp.float32)
     init = {
@@ -450,8 +529,9 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
         return jnp.any(alive) & (c["round"] < max_rounds)
 
     def body(c):
-        t_new, ts, dt, valid, eocc = march_round(c["t"])
-        valid = valid & (c["acc"]["T"] >= render_cfg.t_thresh)[:, None]
+        alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
+        t_new, ts, dt, valid, eocc = _march_round(
+            event, c["t"], fars, alive, K, K_march, with_edit=True)
         sig, rgb, valid, t_new = _eval_compacted(
             params, model_cfg, render_cfg, rays_o, rays_d, ts, valid, t_new,
             N, K)

@@ -16,9 +16,14 @@ import time
 parser = argparse.ArgumentParser()
 parser.add_argument("--chunk", type=int, default=32768)
 parser.add_argument("--K", type=int, default=32)
+parser.add_argument("--Km", type=int, default=0,
+                    help="march events per round (0 = RenderConfig default)")
 parser.add_argument("--factor", type=int, default=2)
 parser.add_argument("--runs", type=int, default=2)
 parser.add_argument("--stats", action="store_true")
+parser.add_argument("--trace", type=str, default=None,
+                    help="capture an xplane trace of the timed renders to "
+                         "this dir (parse with perf/parse_xplane.py)")
 args = parser.parse_args()
 
 import jax
@@ -45,6 +50,8 @@ def make_render_cfg(**kw):
                 march_iters=256, m_cap_per_ray=16, density_thresh=10.0,
                 infer_chunk_events=args.K,
                 infer_compact_factor=args.factor)
+    if args.Km:
+        base["infer_march_events"] = args.Km
     base.update(kw)
     return RenderConfig(**base)
 
@@ -129,10 +136,14 @@ img, _ = tr.render_image(ds.poses[0], intr, H, W)
 print(f"# first render (compile): {time.time() - t0:.1f}s", flush=True)
 
 if args.runs > 0:
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
     t0 = time.time()
     for i in range(args.runs):
         img, _ = tr.render_image(ds.poses[i % len(ds)], intr, H, W)
     dt = (time.time() - t0) / args.runs
+    if args.trace:
+        jax.profiler.stop_trace()
     print(f"render {H}x{W}: {dt * 1e3:.0f} ms/frame = "
           f"{H * W / dt / 1e3:.0f}k rays/s "
           f"(chunk={args.chunk} K={args.K} factor={args.factor})", flush=True)
