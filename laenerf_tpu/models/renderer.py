@@ -70,6 +70,15 @@ class RenderConfig:
     # freeze (t rewinds to the overflowing event) and resume next round.
     # 0 means "same as infer_chunk_events" (no packing).
     infer_march_events: int = 32
+    # pair-sampling: an occupied march event also claims the NEXT dt cell
+    # as a sample without gathering its occupancy — one skip-field fetch
+    # per TWO samples inside objects (the march is latency-bound on
+    # dependent gathers). The extra cell may be one the grid would have
+    # skipped; its (tiny, trained-model) sigma still composites correctly —
+    # this relaxes the acceleration structure, not the renderer. Off by
+    # default: exact-parity with the per-cell march (and the reference's
+    # bitfield semantics, raymarching.cu:380-399) when False.
+    infer_pair_samples: bool = False
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
@@ -97,7 +106,7 @@ class RenderConfig:
 
 
 def _march_round(event, t, fars, alive, K_slots: int, K_march: int,
-                 with_edit: bool = False):
+                 with_edit: bool = False, pair: bool = False):
     """March up to K_march events, packing occupied samples into K_slots
     dense per-ray slots (in-scan one-hot writes — a [N, K_slots] select per
     event, pure VPU work).
@@ -142,6 +151,16 @@ def _march_round(event, t, fars, alive, K_slots: int, K_march: int,
         if with_edit:
             e_b = jnp.where(oh, eocc[:, None], e_b)
         cnt = cnt + write.astype(jnp.int32)
+        if pair:
+            # claim the next dt cell too (one gather per two samples)
+            w2 = write & (cnt < K_slots) & (ts_s + dt_s < fars)
+            oh2 = (slots[None, :] == cnt[:, None]) & w2[:, None]
+            ts_b = jnp.where(oh2, (ts_s + dt_s)[:, None], ts_b)
+            dt_b = jnp.where(oh2, dt_s[:, None], dt_b)
+            if with_edit:
+                e_b = jnp.where(oh2, eocc[:, None], e_b)
+            cnt = cnt + w2.astype(jnp.int32)
+            t_next = jnp.where(w2, tc + 2.0 * dt_s, t_next)
         return (t_next, cnt, ts_b, dt_b, e_b), None
 
     (t_new, cnt, ts, dt, eocc), _ = jax.lax.scan(
@@ -405,8 +424,9 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         ms/round of pure data movement when there is only one tier."""
         t, acc = c["t"], c["acc"]
         alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
-        t_new, ts, dt, valid, _ = _march_round(event, t, fars, alive, K,
-                                               K_march)
+        t_new, ts, dt, valid, _ = _march_round(
+            event, t, fars, alive, K, K_march,
+            pair=render_cfg.infer_pair_samples)
         sig, rgb, valid, t_new = _eval_compacted(
             params, model_cfg, render_cfg, rays_o, rays_d, ts, valid,
             t_new, N, K)
@@ -436,7 +456,8 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
                 tier_event = make_march_event(ro, rd, skip_flat, None, cfg)
                 alive_a = mask & (acc_a["T"] >= render_cfg.t_thresh)
                 t_new, ts, dt, valid, _ = _march_round(
-                    tier_event, t_a, fars_a, alive_a, K, K_march)
+                    tier_event, t_a, fars_a, alive_a, K, K_march,
+                    pair=render_cfg.infer_pair_samples)
                 sig, rgb, valid, t_new = _eval_compacted(
                     params, model_cfg, render_cfg, ro, rd, ts, valid,
                     t_new, A, K)

@@ -19,6 +19,10 @@ parser.add_argument("--K", type=int, default=32)
 parser.add_argument("--Km", type=int, default=0,
                     help="march events per round (0 = RenderConfig default)")
 parser.add_argument("--factor", type=int, default=2)
+parser.add_argument("--tiers", type=int, default=0,
+                    help="infer_ray_tiers override (0 = config default)")
+parser.add_argument("--pair", action="store_true",
+                    help="enable infer_pair_samples")
 parser.add_argument("--runs", type=int, default=2)
 parser.add_argument("--stats", action="store_true")
 parser.add_argument("--trace", type=str, default=None,
@@ -52,6 +56,10 @@ def make_render_cfg(**kw):
                 infer_compact_factor=args.factor)
     if args.Km:
         base["infer_march_events"] = args.Km
+    if args.tiers:
+        base["infer_ray_tiers"] = args.tiers
+    if args.pair:
+        base["infer_pair_samples"] = True
     base.update(kw)
     return RenderConfig(**base)
 
