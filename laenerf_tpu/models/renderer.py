@@ -24,9 +24,11 @@ import jax.numpy as jnp
 from ..ops.compaction import compact_samples, gather_flat, scatter_back  # noqa: F401
 from ..ops.composite import composite_chunk, composite_rays_train
 from ..ops.hashgrid import octo_view
-from ..ops.raymarch import (MarchConfig, build_skip_field, make_march_event,
-                            march_rays_train, near_far_from_aabb,
-                            sample_positions, sph_from_ray)
+from ..ops.raymarch import (MarchConfig, build_skip_field,
+                            lattice_march_supported, make_lattice_round,
+                            make_march_event, march_rays_train,
+                            near_far_from_aabb, sample_positions,
+                            sph_from_ray)
 from .nerf import NeRFConfig, nerf_background, nerf_forward
 
 
@@ -79,6 +81,17 @@ class RenderConfig:
     # default: exact-parity with the per-cell march (and the reference's
     # bitfield semantics, raymarching.cu:380-399) when False.
     infer_pair_samples: bool = False
+    # batched-lattice march round (ops/raymarch.make_lattice_round): one
+    # [N, Km] skip-field gather per round instead of Km serialized [N]
+    # gathers. Measured on v5e it does NOT pay: XLA TPU gather costs
+    # ~8-9 ns per LOOKUP whether batched or serialized
+    # (perf/microbench_lattice.py), and the event chain's skip jumps visit
+    # far fewer cells than the Km dense lattice positions the batched round
+    # must fetch (2409-3821 ms/frame across Km 32-192 vs 2229 ms for the
+    # event scan). Kept as an opt-in: it is exact-parity
+    # (tests/test_march_composite.py) and the trade flips on any backend
+    # where batched gathers stream.
+    infer_lattice_march: bool = False
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
@@ -103,6 +116,32 @@ class RenderConfig:
             max_steps=self.max_steps,
             march_iters=self.march_iters,
         )
+
+
+def _make_round(rays_o, rays_d, skip_flat, edit_flat, cfg,
+                pair: bool = False, lattice: bool = False):
+    """Pick the march-round implementation for this ray set.
+
+    The batched-lattice round (ops/raymarch.make_lattice_round) replaces the
+    serialized event scan with one [N, Km] gather per round. Opt-in via
+    RenderConfig.infer_lattice_march (see the measured trade-off there); it
+    additionally requires every jump to stay on the t0 + k*dt lattice
+    (dt_gamma == 0, single cascade). The pair-sampling relaxation
+    deliberately leaves the lattice, so it always uses the event scan.
+    """
+    if lattice and lattice_march_supported(cfg) and not pair:
+        lat = make_lattice_round(rays_o, rays_d, skip_flat, edit_flat, cfg)
+
+        def rnd(t, fars, alive, K_slots, K_march, with_edit=False):
+            return lat(t, fars, alive, K_slots, K_march, with_edit=with_edit)
+        return rnd
+
+    event = make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg)
+
+    def rnd(t, fars, alive, K_slots, K_march, with_edit=False):
+        return _march_round(event, t, fars, alive, K_slots, K_march,
+                            with_edit=with_edit, pair=pair)
+    return rnd
 
 
 def _march_round(event, t, fars, alive, K_slots: int, K_march: int,
@@ -416,7 +455,9 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         return jnp.any(alive) & (c["round"] < max_rounds)
 
     K_march = render_cfg.infer_march_events or K
-    event = make_march_event(rays_o, rays_d, skip_flat, None, cfg)
+    march_round = _make_round(rays_o, rays_d, skip_flat, None, cfg,
+                              pair=render_cfg.infer_pair_samples,
+                              lattice=render_cfg.infer_lattice_march)
 
     def body_single(c):
         """No-reorder round at full ray capacity (infer_ray_tiers=1): the
@@ -424,9 +465,7 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         ms/round of pure data movement when there is only one tier."""
         t, acc = c["t"], c["acc"]
         alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
-        t_new, ts, dt, valid, _ = _march_round(
-            event, t, fars, alive, K, K_march,
-            pair=render_cfg.infer_pair_samples)
+        t_new, ts, dt, valid, _ = march_round(t, fars, alive, K, K_march)
         sig, rgb, valid, t_new = _eval_compacted(
             params, model_cfg, render_cfg, rays_o, rays_d, ts, valid,
             t_new, N, K)
@@ -453,11 +492,13 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
                 t_a = jnp.take(t, ids)
                 acc_a = jax.tree.map(lambda s: jnp.take(s, ids, axis=0),
                                      acc)
-                tier_event = make_march_event(ro, rd, skip_flat, None, cfg)
+                tier_round = _make_round(
+                    ro, rd, skip_flat, None, cfg,
+                    pair=render_cfg.infer_pair_samples,
+                    lattice=render_cfg.infer_lattice_march)
                 alive_a = mask & (acc_a["T"] >= render_cfg.t_thresh)
-                t_new, ts, dt, valid, _ = _march_round(
-                    tier_event, t_a, fars_a, alive_a, K, K_march,
-                    pair=render_cfg.infer_pair_samples)
+                t_new, ts, dt, valid, _ = tier_round(
+                    t_a, fars_a, alive_a, K, K_march)
                 sig, rgb, valid, t_new = _eval_compacted(
                     params, model_cfg, render_cfg, ro, rd, ts, valid,
                     t_new, A, K)
@@ -529,7 +570,7 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
     march_src = edit_grid if grow_grid else occupancy
     skip_flat = build_skip_field(march_src).reshape(-1)
     edit_flat = edit_grid.reshape(-1)
-    event = make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg)
+    march_round = _make_round(rays_o, rays_d, skip_flat, edit_flat, cfg)
     K_march = render_cfg.infer_march_events or K
 
     zeros = jnp.zeros((N,), jnp.float32)
@@ -551,8 +592,8 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
 
     def body(c):
         alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
-        t_new, ts, dt, valid, eocc = _march_round(
-            event, c["t"], fars, alive, K, K_march, with_edit=True)
+        t_new, ts, dt, valid, eocc = march_round(
+            c["t"], fars, alive, K, K_march, with_edit=True)
         sig, rgb, valid, t_new = _eval_compacted(
             params, model_cfg, render_cfg, rays_o, rays_d, ts, valid, t_new,
             N, K)
