@@ -24,10 +24,11 @@ import jax.numpy as jnp
 from ..ops.compaction import compact_samples, gather_flat, scatter_back  # noqa: F401
 from ..ops.composite import composite_chunk, composite_rays_train
 from ..ops.hashgrid import octo_view
-from ..ops.raymarch import (MarchConfig, build_skip_field,
+from ..ops.raymarch import (WINDOW_PERMS, MarchConfig, build_skip_field,
                             lattice_march_supported, make_lattice_round,
-                            make_march_event, march_rays_train,
-                            near_far_from_aabb, sample_positions,
+                            make_march_event, make_window_round,
+                            march_rays_train, near_far_from_aabb,
+                            pack_skip_fields, sample_positions,
                             sph_from_ray)
 from .nerf import NeRFConfig, nerf_background, nerf_forward
 
@@ -92,6 +93,14 @@ class RenderConfig:
     # (tests/test_march_composite.py) and the trade flips on any backend
     # where batched gathers stream.
     infer_lattice_march: bool = False
+    # packed-window march round (ops/raymarch.make_window_round): one int32
+    # gather fetches a 4-cell skip-field run along the chunk's dominant ray
+    # axis, so each scan iteration retires up to 4 march events (exact
+    # parity — same lattice, same jump formulas; the per-chunk axis choice
+    # is data, not a retrace). Requires dt_gamma == 0, cascades == 1;
+    # falls back to the event scan otherwise (and in the distill path,
+    # which needs per-event edit-grid lookups).
+    infer_window_march: bool = False
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
@@ -119,16 +128,32 @@ class RenderConfig:
 
 
 def _make_round(rays_o, rays_d, skip_flat, edit_flat, cfg,
-                pair: bool = False, lattice: bool = False):
+                pair: bool = False, lattice: bool = False,
+                window_packed=None):
     """Pick the march-round implementation for this ray set.
 
-    The batched-lattice round (ops/raymarch.make_lattice_round) replaces the
-    serialized event scan with one [N, Km] gather per round. Opt-in via
-    RenderConfig.infer_lattice_march (see the measured trade-off there); it
-    additionally requires every jump to stay on the t0 + k*dt lattice
-    (dt_gamma == 0, single cascade). The pair-sampling relaxation
-    deliberately leaves the lattice, so it always uses the event scan.
+    window_packed (pack_skip_fields output, [3, H*H*H/4]) selects the
+    packed-window round: the dominant ray axis of THIS ray set picks the
+    matching transposed/packed field variant and the ray components are
+    permuted to put that axis last — all traced data, so every chunk shares
+    one compiled graph. The batched-lattice round (see
+    RenderConfig.infer_lattice_march for its measured trade-off) and the
+    pair-sampling relaxation remain opt-ins; both exclude the window.
     """
+    if (window_packed is not None and lattice_march_supported(cfg)
+            and not pair and edit_flat is None):
+        dom = jnp.argmax(jnp.sum(jnp.abs(rays_d), axis=0))
+        perm = jnp.asarray(WINDOW_PERMS, jnp.int32)[dom]
+        o_p = jnp.take(rays_o, perm, axis=1)
+        d_p = jnp.take(rays_d, perm, axis=1)
+        packed_flat = jax.lax.dynamic_index_in_dim(window_packed, dom,
+                                                   keepdims=False)
+        win = make_window_round(o_p, d_p, packed_flat, cfg)
+
+        def rnd(t, fars, alive, K_slots, K_march, with_edit=False):
+            return win(t, fars, alive, K_slots, K_march)
+        return rnd
+
     if lattice and lattice_march_supported(cfg) and not pair:
         lat = make_lattice_round(rays_o, rays_d, skip_flat, edit_flat, cfg)
 
@@ -424,7 +449,13 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
               else jnp.zeros((N,), jnp.float32))
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
-    skip_flat = build_skip_field(occupancy).reshape(-1)
+    skip_field = build_skip_field(occupancy)
+    skip_flat = skip_field.reshape(-1)
+    window_packed = (
+        pack_skip_fields(skip_field)
+        if (render_cfg.infer_window_march and lattice_march_supported(cfg)
+            and not render_cfg.infer_pair_samples)
+        else None)
 
     # ascending ray-capacity tiers: N, N/4, N/16, ... (floor 2048)
     ray_caps = [N]
@@ -457,7 +488,8 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
     K_march = render_cfg.infer_march_events or K
     march_round = _make_round(rays_o, rays_d, skip_flat, None, cfg,
                               pair=render_cfg.infer_pair_samples,
-                              lattice=render_cfg.infer_lattice_march)
+                              lattice=render_cfg.infer_lattice_march,
+                              window_packed=window_packed)
 
     def body_single(c):
         """No-reorder round at full ray capacity (infer_ray_tiers=1): the
@@ -495,7 +527,8 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
                 tier_round = _make_round(
                     ro, rd, skip_flat, None, cfg,
                     pair=render_cfg.infer_pair_samples,
-                    lattice=render_cfg.infer_lattice_march)
+                    lattice=render_cfg.infer_lattice_march,
+                    window_packed=window_packed)
                 alive_a = mask & (acc_a["T"] >= render_cfg.t_thresh)
                 t_new, ts, dt, valid, _ = tier_round(
                     t_a, fars_a, alive_a, K, K_march)

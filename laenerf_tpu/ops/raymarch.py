@@ -288,6 +288,149 @@ def lattice_march_supported(cfg: MarchConfig) -> bool:
     return cfg.dt_gamma == 0.0 and cfg.cascades == 1
 
 
+WINDOW_PACK = 4  # cells per packed int32 word
+
+# ray-component permutations that move each dominant axis into the packed
+# (last) position; the same tuples transpose the skip field's spatial dims
+WINDOW_PERMS = ((1, 2, 0), (2, 0, 1), (0, 1, 2))
+
+
+def pack_skip_fields(field):
+    """Pack the skip field into per-dominant-axis int32 4-cell words.
+
+    Returns [3, H*H*(H//4)] int32: variant a holds the field transposed so
+    axis a is innermost, then 4 consecutive cells along that axis packed
+    into one little-endian int32. One word gather then covers a 4-cell run
+    in the ray's dominant direction (make_window_round). 2 MB per variant
+    at H=128 — built once per skip-field rebuild, pure transposes + shifts.
+    """
+    f = field[0].astype(jnp.int32)  # [H, H, H]; single cascade
+    H = f.shape[0]
+    out = []
+    for perm in WINDOW_PERMS:
+        fp = jnp.transpose(f, perm).reshape(H, H, H // WINDOW_PACK,
+                                            WINDOW_PACK)
+        word = (fp[..., 0] | (fp[..., 1] << 8) | (fp[..., 2] << 16)
+                | (fp[..., 3] << 24))
+        out.append(word.reshape(-1))
+    return jnp.stack(out)
+
+
+def make_window_round(rays_o_p, rays_d_p, packed_flat, cfg: MarchConfig):
+    """Packed-window march round: ONE int32 gather per scan iteration
+    retires up to 4 serialized march events.
+
+    The event scan's cost is one dependent skip-field gather per event
+    (~8 ns/ray on v5e regardless of batching, perf/microbench_lattice.py).
+    Inside objects, consecutive events step single cells — so 4 consecutive
+    cells along the ray's dominant axis, packed into one int32 word
+    (pack_skip_fields), let one gather answer several events: each scan
+    iteration extracts the occupancy/jump levels of the next lattice
+    positions that stay inside the gathered word's cell run and emits that
+    whole sample prefix with vector math. Positions, samples, and jump
+    targets are bit-identical to make_march_event's (same lattice, same
+    exit-face/Chebyshev jump formulas — the permutation only relabels axes,
+    and min-over-axes geometry is permutation-invariant), asserted by
+    tests/test_march_composite.py::test_window_round_matches_event_round.
+
+    Args are in PERMUTED space: rays_o_p/rays_d_p with the dominant axis
+    last, packed_flat the matching pack_skip_fields variant. Requires
+    dt_gamma == 0 and cascades == 1 (lattice_march_supported).
+
+    Returns round(t, fars, alive, K_slots, n_iters) ->
+      (t_next [N], ts [N,Ks], dt [N,Ks], valid [N,Ks], eocc [N,Ks]).
+    """
+    assert lattice_march_supported(cfg)
+    H = cfg.grid_size
+    bound = cfg.bound
+    dt = cfg.dt_min
+    mb = min(1.0, bound)
+    scale = 0.5 * H / mb
+    cell_world = (2.0 / H) * mb
+
+    rd = 1.0 / rays_d_p
+    sgn = jnp.sign(rays_d_p)
+    jj = jnp.arange(WINDOW_PACK, dtype=jnp.float32)
+
+    def round_fn(t, fars, alive, K_slots: int, n_iters: int,
+                 with_edit=False):
+        del with_edit  # distill keeps the event scan (renderer._make_round)
+        N = t.shape[0]
+        slots = jnp.arange(K_slots, dtype=jnp.int32)
+        zeros_f = jnp.zeros((N, K_slots), jnp.float32)
+
+        def step(carry, _):
+            tc, cnt, ts_b, dt_b = carry
+            done = (tc >= fars) | ~alive
+            ttj = tc[:, None] + jj[None, :] * dt  # [N, 4]
+            pos = rays_o_p[:, None, :] + ttj[..., None] * rays_d_p[:, None, :]
+            pos = jnp.clip(pos, -bound, bound)
+            cell = jnp.clip((pos + mb) * scale, 0.0,
+                            H - 1.0).astype(jnp.int32)  # [N, 4, 3]
+            x0, y0 = cell[:, 0, 0], cell[:, 0, 1]
+            zw0 = cell[:, 0, 2] >> 2
+            widx = (x0 * H + y0) * (H // WINDOW_PACK) + zw0
+            word = jnp.take(packed_flat, widx, axis=0)  # ONE gather
+
+            zj = cell[..., 2]
+            in_win = ((cell[..., 0] == x0[:, None])
+                      & (cell[..., 1] == y0[:, None])
+                      & ((zj >> 2) == zw0[:, None])
+                      & (ttj < fars[:, None]))
+            fj = (word[:, None] >> (8 * (zj & 3))) & 0xFF  # [N, 4]
+            occj = fj == 0
+
+            # leading run of in-window samples; the event at index S (if
+            # still in-window) is a skip event
+            good = in_win & occj
+            S = jnp.sum(jnp.cumprod(good.astype(jnp.int32), axis=1), axis=1)
+            n_emit = jnp.where(done, 0,
+                               jnp.minimum(S, K_slots - cnt))  # [N]
+            for j in range(WINDOW_PACK):
+                w = (~done) & (j < n_emit)
+                oh = (slots[None, :] == (cnt + j)[:, None]) & w[:, None]
+                ts_b = jnp.where(oh, (tc + j * dt)[:, None], ts_b)
+                dt_b = jnp.where(oh, dt, dt_b)
+            cnt = cnt + n_emit
+            overflow = S > n_emit
+
+            # jump from position S (exact make_march_event formulas)
+            S_c = jnp.minimum(S, WINDOW_PACK - 1)
+            sel = jax.nn.one_hot(S_c, WINDOW_PACK, dtype=jnp.float32)
+            t_S = jnp.sum(ttj * sel, axis=1)
+            pos_S = jnp.sum(pos * sel[..., None], axis=1)
+            cell_S = jnp.sum(cell.astype(jnp.float32) * sel[..., None],
+                             axis=1)
+            f_S = jnp.sum(fj * sel.astype(jnp.int32), axis=1)
+            is_jump = (S < WINDOW_PACK) & ~done & jnp.take_along_axis(
+                in_win, S_c[:, None], axis=1)[:, 0] & (f_S > 0)
+
+            tv = (((cell_S + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0) * mb
+                  - pos_S) * rd
+            tt_fine = t_S + jnp.maximum(0.0, jnp.min(tv, axis=-1))
+            m = (jnp.left_shift(1, jnp.maximum(f_S - 1, 0)) - 1).astype(
+                jnp.float32)
+            tt = jnp.maximum(tt_fine, t_S + m * cell_world)
+            n_skip = jnp.maximum(jnp.floor((tt - t_S) / dt) + 1.0, 1.0)
+            t_jump = t_S + n_skip * dt
+
+            t_next = jnp.where(
+                done, tc,
+                jnp.where(overflow, tc + n_emit.astype(jnp.float32) * dt,
+                          jnp.where(is_jump, t_jump,
+                                    tc + S.astype(jnp.float32) * dt)))
+            return (t_next, cnt, ts_b, dt_b), None
+
+        (t_new, cnt, ts, dtb), _ = jax.lax.scan(
+            step, (t, jnp.zeros((N,), jnp.int32), zeros_f, zeros_f),
+            None, length=n_iters)
+        valid = slots[None, :] < cnt[:, None]
+        return (t_new, ts, dtb, valid,
+                jnp.zeros((N, K_slots), jnp.bool_))
+
+    return round_fn
+
+
 def make_lattice_round(rays_o, rays_d, skip_flat, edit_flat,
                        cfg: MarchConfig):
     """Batched-gather replacement for the serialized march-event scan.

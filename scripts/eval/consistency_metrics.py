@@ -34,24 +34,39 @@ def _load(path):
 
 
 def block_flow(a, b, radius=8, patch=8, stride=4):
-    """Coarse block-matching flow a->b (fallback; RAFT preferred)."""
+    """Coarse block-matching flow a->b (fallback; RAFT preferred).
+
+    Vectorized: for each of the (2*radius/2+1)^2 candidate displacements,
+    the per-block SSD over every grid block comes from one integral image
+    of the shifted squared difference — O(#disp * H * W) total instead of
+    the quadruple loop over (block, displacement)."""
     H, W, _ = a.shape
     gy = np.arange(0, H - patch, stride)
     gx = np.arange(0, W - patch, stride)
+    best_d = np.full((len(gy), len(gx)), np.inf, np.float32)
     flow = np.zeros((len(gy), len(gx), 2), np.float32)
-    for iy, y in enumerate(gy):
-        for ix, x in enumerate(gx):
-            pa = a[y:y + patch, x:x + patch]
-            best, bd = (0, 0), np.inf
-            for dy in range(-radius, radius + 1, 2):
-                for dx in range(-radius, radius + 1, 2):
-                    yy, xx = y + dy, x + dx
-                    if yy < 0 or xx < 0 or yy + patch > H or xx + patch > W:
-                        continue
-                    d = np.mean((pa - b[yy:yy + patch, xx:xx + patch]) ** 2)
-                    if d < bd:
-                        bd, best = d, (dx, dy)
-            flow[iy, ix] = best
+    oy, ox = np.meshgrid(gy, gx, indexing="ij")
+    for dy in range(-radius, radius + 1, 2):
+        for dx in range(-radius, radius + 1, 2):
+            # b shifted by (-dy, -dx) so diff[y, x] = a[y, x] - b[y+dy, x+dx]
+            ys, xs = max(dy, 0), max(dx, 0)
+            ye, xe = H + min(dy, 0), W + min(dx, 0)
+            diff = np.zeros((H, W), np.float32)
+            d2 = a[ys - dy:ye - dy, xs - dx:xe - dx] - b[ys:ye, xs:xe]
+            diff[ys - dy:ye - dy, xs - dx:xe - dx] = np.einsum(
+                "ijc,ijc->ij", d2, d2)
+            ii = np.zeros((H + 1, W + 1), np.float64)
+            np.cumsum(np.cumsum(diff, 0), 1, out=ii[1:, 1:])
+            ssd = (ii[oy + patch, ox + patch] - ii[oy, ox + patch]
+                   - ii[oy + patch, ox] + ii[oy, ox]).astype(np.float32)
+            # blocks whose shifted window leaves the image are invalid
+            ok = ((oy + dy >= 0) & (ox + dx >= 0)
+                  & (oy + dy + patch <= H) & (ox + dx + patch <= W))
+            ssd = np.where(ok, ssd, np.inf)
+            upd = ssd < best_d
+            best_d = np.where(upd, ssd, best_d)
+            flow[..., 0] = np.where(upd, dx, flow[..., 0])
+            flow[..., 1] = np.where(upd, dy, flow[..., 1])
     # upsample to full res
     from PIL import Image
 
