@@ -101,6 +101,12 @@ class RenderConfig:
     # falls back to the event scan otherwise (and in the distill path,
     # which needs per-event edit-grid lookups).
     infer_window_march: bool = False
+    # dtype of the per-frame inference gather view ("" = the model spec's
+    # gather_dtype). "f8" (float8_e4m3fn) halves each level's gather
+    # operand again vs bf16 — the v5e gather-cost knee sits at ~16 MB of
+    # operand per level (docs/PERF.md) — at ~6% relative feature rounding.
+    # Inference-only: training always uses the spec dtype.
+    infer_view_dtype: str = ""
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.

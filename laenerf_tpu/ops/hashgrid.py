@@ -285,7 +285,7 @@ def _octo_corner_offsets(spec: HashGridSpec, level: int):
             for c in range(8)]
 
 
-def octo_view(table, spec: HashGridSpec):
+def octo_view(table, spec: HashGridSpec, dtype: str = ""):
     """Build PER-LEVEL overlapped views: a tuple of [size_l, 8C] arrays
     where row i of level l holds the features of all 8 corners of the cell
     whose base corner is row i.
@@ -303,8 +303,16 @@ def octo_view(table, spec: HashGridSpec):
     Inference callers should build this ONCE per frame/step and pass it to
     hashgrid_encode(view=...) so per-chunk calls skip the rebuild.
     """
-    if spec.gather_dtype == "bf16":
+    eff = dtype or spec.gather_dtype
+    if eff == "bf16":
         table = table.astype(jnp.bfloat16)
+    elif eff == "f8":
+        # inference-only quantized view: fp8 rows halve the per-level
+        # operand footprint again vs bf16 (the gather cost knee sits at
+        # ~16 MB/level on v5e, docs/PERF.md r3 microbench table); the
+        # interpolation upcasts after the gather. Never used in training —
+        # Trainer.render_image opts in via RenderConfig.infer_view_dtype.
+        table = table.astype(jnp.float8_e4m3fn)
     parts = []
     for level in range(spec.num_levels):
         off = spec.level_offsets[level]
@@ -318,7 +326,7 @@ def octo_view(table, spec: HashGridSpec):
 
 # jitted entry for per-frame callers (Trainer.render_image etc.); spec is
 # hashable (frozen dataclass) so it compiles once per grid configuration
-octo_view_jit = jax.jit(octo_view, static_argnames="spec")
+octo_view_jit = jax.jit(octo_view, static_argnames=("spec", "dtype"))
 
 
 def _octo_base_indices(spec: HashGridSpec, level: int, coords):

@@ -439,8 +439,9 @@ class Trainer:
             # render_rays_infer call then skips the rebuild (ops/hashgrid)
             from ..ops.hashgrid import octo_view_jit
             params = dict(params,
-                          encoder_view=octo_view_jit(params["encoder"],
-                                                     spec=spec))
+                          encoder_view=octo_view_jit(
+                              params["encoder"], spec=spec,
+                              dtype=self.render_cfg.infer_view_dtype))
         rays_o, rays_d = pixel_rays(jnp.asarray(pose),
                                     jnp.asarray(intrinsics), H, W)
         n = H * W

@@ -23,6 +23,10 @@ parser.add_argument("--tiers", type=int, default=0,
                     help="infer_ray_tiers override (0 = config default)")
 parser.add_argument("--pair", action="store_true",
                     help="enable infer_pair_samples")
+parser.add_argument("--window", action="store_true",
+                    help="enable infer_window_march (packed 4-cell words)")
+parser.add_argument("--view_f8", action="store_true",
+                    help="fp8 inference gather views (infer_view_dtype)")
 parser.add_argument("--runs", type=int, default=2)
 parser.add_argument("--stats", action="store_true")
 parser.add_argument("--trace", type=str, default=None,
@@ -60,6 +64,10 @@ def make_render_cfg(**kw):
         base["infer_ray_tiers"] = args.tiers
     if args.pair:
         base["infer_pair_samples"] = True
+    if args.window:
+        base["infer_window_march"] = True
+    if args.view_f8:
+        base["infer_view_dtype"] = "f8"
     base.update(kw)
     return RenderConfig(**base)
 

@@ -248,3 +248,36 @@ def test_octo_corner_offsets_additive():
             idx_c = np.asarray(
                 _octo_base_indices(spec, level, coords + d)) - off
             np.testing.assert_array_equal(idx_c, (base + offs[c]) % size)
+
+
+def test_octo_view_f8_close():
+    """The fp8 inference view must reproduce bf16-view features to fp8
+    rounding (~6% relative), with identical zero/oob handling."""
+    import jax
+    import jax.numpy as jnp
+    from laenerf_tpu.ops.hashgrid import (HashGridSpec, hashgrid_encode,
+                                          hashgrid_init, octo_view)
+
+    spec = HashGridSpec(num_levels=4, level_dim=4, log2_hashmap_size=12,
+                        octo_gather=True, gather_dtype="bf16")
+    key = jax.random.PRNGKey(3)
+    # realistic magnitude spread (trained tables span ~1e-3..1e0)
+    table = hashgrid_init(key, spec) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(5), (512, 3),
+                           minval=-1.2, maxval=1.2)  # includes oob
+    ref = hashgrid_encode(table, x, spec, bound=1.0,
+                          view=octo_view(table, spec))
+    f8 = hashgrid_encode(table, x, spec, bound=1.0,
+                         view=octo_view(table, spec, dtype="f8"))
+    ref, f8 = jnp.asarray(ref, jnp.float32), jnp.asarray(f8, jnp.float32)
+    # corner interpolation cancels zero-mean features, so RELATIVE error is
+    # unbounded; the fp8 guarantee is absolute error ~<= 2*eps_e4m3 * the
+    # corner magnitude scale (here ~1.0). Quality on a trained model is
+    # judged by the render PSNR A/B in perf/profile_render.py --view_f8.
+    scale = float(jnp.max(jnp.abs(table)))
+    err = float(jnp.max(jnp.abs(ref - f8)))
+    assert err < 0.15 * scale, (err, scale)
+    # oob rows stay exactly zero
+    import numpy as np
+    oob = np.any(np.abs(np.asarray(x)) > 1.0, axis=-1)
+    assert np.all(np.asarray(f8)[oob] == 0)
