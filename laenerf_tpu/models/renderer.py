@@ -107,6 +107,15 @@ class RenderConfig:
     # operand per level (docs/PERF.md) — at ~6% relative feature rounding.
     # Inference-only: training always uses the spec dtype.
     infer_view_dtype: str = ""
+    # global cross-chunk ray repacking: > 0 makes Trainer.render_image run
+    # phased inference — every chunk marches this many rounds, then the
+    # still-alive rays of the WHOLE frame are re-packed into dense chunks
+    # and marching resumes (the direct analogue of the reference's
+    # host-side alive-ray compaction, renderer.py:336-387, done across the
+    # frame instead of per launch). Kills the dominant march waste: dead
+    # rays inside a live chunk still pay every scan-iteration gather.
+    # 0 disables (per-chunk while_loop to completion).
+    infer_repack_rounds: int = 0
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
@@ -576,6 +585,76 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         "fars": fars,
         "rounds": out["round"],
     }
+
+
+@partial(jax.jit, static_argnames=("render_cfg",))
+def build_march_tables(occupancy, *, render_cfg: RenderConfig):
+    """Per-frame march acceleration tables: the flat skip field and (when
+    infer_window_march) the packed axis variants. Built ONCE per frame by
+    phased inference instead of once per chunk call."""
+    cfg = render_cfg.march_cfg
+    field = build_skip_field(occupancy)
+    packed = (pack_skip_fields(field)
+              if (render_cfg.infer_window_march
+                  and lattice_march_supported(cfg)
+                  and not render_cfg.infer_pair_samples)
+              else None)
+    return field.reshape(-1), packed
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "max_rounds"))
+def render_rays_infer_rounds(params, skip_flat, window_packed, rays_o,
+                             rays_d, t, acc, t0, fars, *,
+                             model_cfg: NeRFConfig,
+                             render_cfg: RenderConfig, max_rounds: int):
+    """March up to max_rounds inference rounds from explicit per-ray state.
+
+    The phased building block behind RenderConfig.infer_repack_rounds:
+    unlike render_rays_infer (which owns its loop to completion), state
+    (t, accumulators, t0, fars) is caller-managed so the caller can re-pack
+    the frame's surviving rays into dense chunks between phases.
+
+    Returns (t, acc, alive) with alive = (T >= t_thresh) & (t < fars).
+    """
+    N = rays_o.shape[0]
+    cfg = render_cfg.march_cfg
+    K = render_cfg.infer_chunk_events
+    K_march = render_cfg.infer_march_events or K
+    params = _with_encoder_view(params, model_cfg)
+
+    march_round = _make_round(rays_o, rays_d, skip_flat, None, cfg,
+                              pair=render_cfg.infer_pair_samples,
+                              lattice=render_cfg.infer_lattice_march,
+                              window_packed=window_packed)
+
+    def cond(c):
+        alive = (c["acc"]["T"] >= render_cfg.t_thresh) & (c["t"] < fars)
+        return jnp.any(alive) & (c["round"] < max_rounds)
+
+    def body(c):
+        t, acc_c = c["t"], c["acc"]
+        alive = (acc_c["T"] >= render_cfg.t_thresh) & (t < fars)
+        t_new, ts, dt, valid, _ = march_round(t, fars, alive, K, K_march)
+        sig, rgb, valid, t_new = _eval_compacted(
+            params, model_cfg, render_cfg, rays_o, rays_d, ts, valid,
+            t_new, N, K)
+        acc_new = composite_chunk(acc_c, sig, rgb, dt, ts, valid, t0,
+                                  render_cfg.t_thresh)
+        return {"t": t_new, "acc": acc_new, "round": c["round"] + 1}
+
+    out = jax.lax.while_loop(
+        cond, body, {"t": t, "acc": acc, "round": jnp.zeros((), jnp.int32)})
+    alive = (out["acc"]["T"] >= render_cfg.t_thresh) & (out["t"] < fars)
+    return out["t"], out["acc"], alive
+
+
+@partial(jax.jit, static_argnames=("model_cfg",))
+def finalize_infer_image(params, rays_o, rays_d, acc, bg_color, *,
+                         model_cfg: NeRFConfig):
+    """Apply the background model/color to phased-inference accumulators."""
+    bg = _background(params, model_cfg, rays_o, rays_d, bg_color)
+    image = acc["rgb"] + (1.0 - acc["ws"])[:, None] * bg
+    return image, acc["depth"]
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "perturb",

@@ -44,6 +44,18 @@ class TrainState:
     step: jax.Array
 
 
+@jax.jit
+def _take_tree(tree, ids):
+    """Gather rows ids from every leaf (phased-inference repacking)."""
+    return jax.tree.map(lambda a: jnp.take(a, ids, axis=0), tree)
+
+
+@jax.jit
+def _put_tree(tree, ids, new):
+    """Scatter updated rows back (phased-inference repacking)."""
+    return jax.tree.map(lambda a, b: a.at[ids].set(b), tree, new)
+
+
 def make_optimizer(lr: float, iters: int):
     """Adam + LambdaLR 0.1**(step/iters) (main_nerf.py:223-240)."""
     schedule = lambda step: lr * (0.1 ** jnp.minimum(step / iters, 1.0))
@@ -457,6 +469,15 @@ class Trainer:
             rays_o = jnp.concatenate([rays_o, rays_o[:pad]], axis=0)
             rays_d = jnp.concatenate([rays_d, rays_d[:pad]], axis=0)
         stats = os.environ.get("LAENERF_RENDER_STATS")
+        if self.render_cfg.infer_repack_rounds > 0:
+            img, depth = self._render_image_repack(
+                params, rays_o, rays_d, n, chunk, bg_color, stats)
+            inv_d = jnp.asarray(inv)
+            img = np.asarray(jnp.take(img[:n], inv_d, axis=0)).reshape(
+                H, W, 3)
+            depth = np.asarray(jnp.take(depth[:n], inv_d, axis=0)).reshape(
+                H, W)
+            return img, depth
         # dispatch every chunk asynchronously (device arrays only) and fetch
         # once at the end — a per-chunk np.asarray would insert a ~30 ms
         # tunnel round-trip bubble between chunks (the XLA analogue of the
@@ -483,6 +504,99 @@ class Trainer:
             jnp.take(jnp.concatenate(depths, axis=0)[:n], inv_d, axis=0)
         ).reshape(H, W)
         return img, depth
+
+    def _render_image_repack(self, params, rays_o, rays_d, n, chunk,
+                             bg_color, stats):
+        """Phased inference with global alive-ray repacking
+        (RenderConfig.infer_repack_rounds): march every chunk R rounds,
+        re-pack the frame's survivors into dense chunks, repeat. The
+        analogue of the reference's host-side alive-ray compaction
+        (renderer.py:336-387) done frame-wide: dead rays in SIMD chunks
+        otherwise keep paying every march-scan gather until their whole
+        chunk retires.
+
+        rays_o/rays_d are already tile-ordered and chunk-padded; returns
+        (image [n_pad, 3], depth [n_pad]) device arrays in that order.
+        """
+        import time as _time
+
+        from ..models.renderer import (build_march_tables,
+                                       finalize_infer_image,
+                                       render_rays_infer_rounds)
+        from ..ops.raymarch import near_far_from_aabb
+
+        rcfg = self.render_cfg
+        cfg = rcfg.march_cfg
+        R = rcfg.infer_repack_rounds
+        n_pad = rays_o.shape[0]
+        skip_flat, window_packed = build_march_tables(
+            self.occ_state.occupancy, render_cfg=rcfg)
+
+        # one dead sentinel row: id padding targets it, so padded lanes
+        # never alias a live ray
+        rays_o = jnp.concatenate([rays_o, jnp.zeros((1, 3))], axis=0)
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+        aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                         rcfg.min_near)
+        fars = fars.at[n_pad].set(-1.0)  # sentinel: never alive
+        t0 = nears
+        state = {
+            "t": jnp.asarray(nears),
+            "acc": {
+                "T": jnp.ones((n_pad + 1,), jnp.float32),
+                "ws": jnp.zeros((n_pad + 1,), jnp.float32),
+                "depth": jnp.zeros((n_pad + 1,), jnp.float32),
+                "rgb": jnp.zeros((n_pad + 1, 3), jnp.float32),
+            },
+        }
+
+        max_rounds = ((cfg.max_steps // rcfg.infer_chunk_events)
+                      * max(rcfg.infer_compact_factor, 1))
+        ids = np.arange(n_pad, dtype=np.int32)
+        budget = max_rounds
+        phase = 0
+        while ids.size and budget > 0:
+            tt = _time.time()
+            # geometric schedule: each alive-mask fetch is a host<->device
+            # sync (~10-30 ms over the tunnel), so later phases run longer
+            # stretches — the per-chunk while_loop still early-exits the
+            # moment a chunk's rays all die
+            rounds = min(R << phase, budget)
+            pad_ids = (-ids.size) % chunk
+            ids_p = np.concatenate(
+                [ids, np.full((pad_ids,), n_pad, np.int32)])
+            alive_parts = []
+            for s in range(0, ids_p.size, chunk):
+                sl = jnp.asarray(ids_p[s:s + chunk])
+                ro, rd = _take_tree(rays_o, sl), _take_tree(rays_d, sl)
+                st = _take_tree(state, sl)
+                t_new, acc_new, alive = render_rays_infer_rounds(
+                    params, skip_flat, window_packed, ro, rd,
+                    st["t"], st["acc"], _take_tree(t0, sl),
+                    _take_tree(fars, sl),
+                    model_cfg=self.model_cfg, render_cfg=rcfg,
+                    max_rounds=rounds)
+                state = _put_tree(state, sl, {"t": t_new,
+                                              "acc": acc_new})
+                alive_parts.append(alive)
+            alive_np = np.concatenate(
+                [np.asarray(a) for a in alive_parts])[:ids.size]
+            if stats:
+                print(f"# repack phase {phase}: {ids.size} rays, "
+                      f"{ids_p.size // chunk} chunks, "
+                      f"{alive_np.sum()} alive, "
+                      f"{_time.time() - tt:.3f}s", flush=True)
+            ids = ids[alive_np]
+            budget -= rounds
+            phase += 1
+
+        image, depth = finalize_infer_image(
+            params, rays_o[:n_pad], rays_d[:n_pad],
+            jax.tree.map(lambda a: a[:n_pad], state["acc"]), bg_color,
+            model_cfg=self.model_cfg)
+        return image, depth
 
     def evaluate(self, dataset, max_views: Optional[int] = None):
         """PSNR/SSIM/LPIPS over a dataset split (utils.py:1526-1624); LPIPS

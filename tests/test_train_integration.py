@@ -127,3 +127,31 @@ def test_dp_render_image_8devices(scene_dir):
         )
         np.testing.assert_allclose(img8, img1, atol=2e-3)
         np.testing.assert_allclose(d8, d1, atol=2e-3)
+
+
+def test_render_image_repack_matches_plain(scene_dir):
+    """Phased inference with global ray repacking must reproduce the plain
+    per-chunk while_loop render exactly (same rounds semantics, same
+    composite order — repacking only changes WHICH rays share a dispatch)."""
+    import dataclasses
+
+    ds = NeRFDataset(scene_dir, "train", num_rays=512)
+    with tempfile.TemporaryDirectory() as ws:
+        tr = Trainer(ws, MODEL_CFG, RENDER_CFG, lr=1e-2, iters=2000,
+                     eval_chunk=1024)
+        tr.mark_untrained(ds)
+        for step in range(60):
+            tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
+        img, depth = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
+
+        tr.render_cfg = dataclasses.replace(tr.render_cfg,
+                                            infer_repack_rounds=2)
+        img2, depth2 = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
+        np.testing.assert_allclose(img2, img, atol=2e-3)
+        np.testing.assert_allclose(depth2, depth, atol=2e-2)
+
+        # and with the window march on top
+        tr.render_cfg = dataclasses.replace(tr.render_cfg,
+                                            infer_window_march=True)
+        img3, _ = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
+        np.testing.assert_allclose(img3, img, atol=2e-3)
