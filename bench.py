@@ -31,9 +31,11 @@ def main():
     from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
     from laenerf_tpu.models import NeRFConfig, RenderConfig
     from laenerf_tpu.train import Trainer
-    from laenerf_tpu.utils import enable_compilation_cache
+    from laenerf_tpu.utils import (compile_cache_stats,
+                                   enable_compilation_cache)
 
     enable_compilation_cache()
+    cache0 = compile_cache_stats()
 
     t_setup = time.time()
     tmp = tempfile.mkdtemp(prefix="laenerf_bench_")
@@ -70,6 +72,10 @@ def main():
                 break
     jax.block_until_ready(tr.state.params)
     warm_steps = step
+    c = compile_cache_stats()
+    print(f"# xla-cache after warmup: {c[0]} entries "
+          f"(+{c[0] - cache0[0]} compiled this run)", file=sys.stderr,
+          flush=True)
 
     # --- train iters/sec ---
     n_train_iters = 50
@@ -129,6 +135,7 @@ def main():
         "occ_frac": round(occ_frac, 4),
         "warm_steps": warm_steps,
         "setup_s": round(time.time() - t_setup, 1),
+        "xla_cache_misses": compile_cache_stats()[0] - cache0[0],
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

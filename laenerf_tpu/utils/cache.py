@@ -20,3 +20,17 @@ def enable_compilation_cache(path: str = None):
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     return path
+
+
+def compile_cache_stats(path: str = None):
+    """(n_entries, total_bytes) of the persistent cache — lets bench.py
+    report hit/miss deltas per phase (VERDICT r2 #6: setup_s diagnosis)."""
+    path = path or os.environ.get("LAENERF_XLA_CACHE", _DEFAULT_DIR)
+    n = b = 0
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if os.path.isfile(fp):
+                n += 1
+                b += os.path.getsize(fp)
+    return n, b
