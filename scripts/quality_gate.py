@@ -38,6 +38,13 @@ parser.add_argument("--aa", type=int, default=2,
                          "of silhouette noise into the metric (VERDICT r2)")
 parser.add_argument("--min_psnr", type=float, default=0.0,
                     help="fail (exit 1) if test PSNR lands below this")
+# model/march experiment knobs (round-3 quality sweep)
+parser.add_argument("--num_levels", type=int, default=8)
+parser.add_argument("--level_dim", type=int, default=4)
+parser.add_argument("--lg", type=int, default=19,
+                    help="log2_hashmap_size")
+parser.add_argument("--max_steps", type=int, default=512,
+                    help="march dt = 2*sqrt(3)/this (reference: 1024)")
 args = parser.parse_args()
 
 import jax
@@ -71,10 +78,14 @@ test_ds = NeRFDataset(scene_dir, "test")
 # reference budget: 30k iters, 4096 rays, fp16[->bf16], lr 1e-2
 # (configs_nerf_synthetic/lego.sh); max_steps 512 trades the reference's
 # 1024 for 2x coarser dt — the scene GT itself is rendered at dt~0.016
-model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
-                       log2_hashmap_size=19)
+# NeRFConfig derives per_level_scale from a fixed finest res of 2048
+# (models/nerf.py grid_spec), so num_levels alone controls the ladder shape
+model_cfg = NeRFConfig(bound=1.0, num_levels=args.num_levels,
+                       level_dim=args.level_dim,
+                       log2_hashmap_size=args.lg)
 render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
-                          max_steps=512, march_iters=384,
+                          max_steps=args.max_steps,
+                          march_iters=384 if args.max_steps <= 512 else 512,
                           m_cap_per_ray=32, density_thresh=10.0,
                           infer_chunk_events=16, infer_compact_factor=4)
 tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,
@@ -134,6 +145,8 @@ result = {
     "test_lpips": round(lm.measure(), 4) if lm.available else None,
     "render_s_per_frame": round(render_time, 2),
     "n_train_views": args.n_train,
+    "model": {"num_levels": args.num_levels, "level_dim": args.level_dim,
+              "lg": args.lg, "max_steps": args.max_steps},
     "device": str(jax.devices()[0]),
 }
 assert result["test_ssim"] <= 1.0, "SSIM > 1 means a broken meter"
