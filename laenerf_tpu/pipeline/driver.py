@@ -58,6 +58,10 @@ class PipelineConfig:
     palette_mod: Optional[np.ndarray] = None
     palette_weights: Optional[np.ndarray] = None
     palette_biases: Optional[np.ndarray] = None
+    # editing-encoder table size: lg18 halves the 16-level table the style
+    # step's backward scatters into (~2x faster gathers on v5e for small
+    # tables, docs/PERF.md microbench) at a small capacity cost
+    style_lg: int = 19
     # recolorable-stylization reload (gui.py:165-180)
     style_enc_path: Optional[str] = None
     palette_path: Optional[str] = None
@@ -106,6 +110,7 @@ class EditPipeline:
         self.laenerf_cfg = LAENeRFConfig(
             bound=trainer.model_cfg.bound,
             num_palette_bases=cfg.num_palette_bases,
+            log2_hashmap_size=cfg.style_lg,
         )
 
     # -- phase B: init (gui.py:222-325) ---------------------------------

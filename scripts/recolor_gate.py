@@ -29,6 +29,9 @@ parser.add_argument("--style_steps", type=int, default=10000)
 parser.add_argument("--distill_steps", type=int, default=7000)
 parser.add_argument("--palette_steps", type=int, default=1500)
 parser.add_argument("--mode", default="recolor", choices=["recolor", "style"])
+parser.add_argument("--style_lg", type=int, default=19,
+                    help="editing-encoder log2_hashmap_size (18 halves "
+                         "the style-step backward table)")
 parser.add_argument("--grow_iterations", type=int, default=4000,
                     help="BFS region-growing budget; the density graph is "
                          "connected, so an unbounded grow floods from the "
@@ -105,6 +108,7 @@ if args.mode == "style":
         distill_palette_steps=args.palette_steps,
         num_palette_bases=8,
         depth_diff=0.5,
+        style_lg=args.style_lg,
         style_image=style_path, crop_size=256,
         weights=StyleLossWeights(
             offset_loss=5e-5, weight_loss_non_uniform=1e-7,
@@ -121,6 +125,7 @@ else:
         distill_palette_steps=args.palette_steps,
         num_palette_bases=8,
         depth_diff=0.5,
+        style_lg=args.style_lg,
         weights=StyleLossWeights(
             offset_loss=1e-4, weight_loss_uniform=1e-5,
             weight_loss_non_uniform=1e-5, palette_loss_valid=1e-4,
