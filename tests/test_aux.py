@@ -163,3 +163,29 @@ def test_ssim_bounded():
     v = float(ssim(jnp.asarray(a), jnp.asarray(b)))
     assert -1.0 <= v <= 1.0 + 1e-6
     assert v > 0.99
+
+
+def test_block_flow_recovers_shift():
+    """Vectorized block-matching flow must recover a known integer shift
+    and warp back to the source exactly (consistency_metrics fallback)."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "cm", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+            "scripts", "eval", "consistency_metrics.py"))
+    cm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cm)
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(96, 128, 3).astype(np.float32)
+    b = np.zeros_like(a)
+    b[2:, :-4] = a[:-2, 4:]  # a[y, x] == b[y+2, x-4] -> flow (-4, +2)
+    f = cm.block_flow(a, b)
+    assert abs(np.median(f[..., 0]) - (-4)) < 1e-3
+    assert abs(np.median(f[..., 1]) - 2) < 1e-3
+    w = cm.warp(b, f)
+    assert np.mean((w[16:-16, 16:-16] - a[16:-16, 16:-16]) ** 2) < 1e-5
