@@ -107,6 +107,15 @@ class RenderConfig:
     # operand per level (docs/PERF.md) — at ~6% relative feature rounding.
     # Inference-only: training always uses the spec dtype.
     infer_view_dtype: str = ""
+    # warm-up rounds: the first this-many rounds of a chunk's march run
+    # with infer_warmup_slots sample slots instead of infer_chunk_events.
+    # Opaque-surface rays saturate transmittance within a handful of dt
+    # samples, so full-width first rounds evaluate (K - ~4) samples per
+    # surface ray that the composite then discards — the reference's
+    # n_step = 1, 2, 4, ... schedule (renderer.py:348-352) exists for the
+    # same reason. 0 disables.
+    infer_warmup_rounds: int = 0
+    infer_warmup_slots: int = 4
     # global cross-chunk ray repacking: > 0 makes Trainer.render_image run
     # phased inference — every chunk marches this many rounds, then the
     # still-alive rays of the WHOLE frame are re-packed into dense chunks
@@ -512,12 +521,26 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
         ms/round of pure data movement when there is only one tier."""
         t, acc = c["t"], c["acc"]
         alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
-        t_new, ts, dt, valid, _ = march_round(t, fars, alive, K, K_march)
-        sig, rgb, valid, t_new = _eval_compacted(
-            params, model_cfg, render_cfg, rays_o, rays_d, ts, valid,
-            t_new, N, K)
-        acc_new = composite_chunk(acc, sig, rgb, dt, ts, valid, t0,
-                                  render_cfg.t_thresh)
+
+        def run_round(K_s, K_m):
+            def fn(_):
+                t_new, ts, dt, valid, _ = march_round(t, fars, alive,
+                                                      K_s, K_m)
+                sig, rgb, valid_e, t_new = _eval_compacted(
+                    params, model_cfg, render_cfg, rays_o, rays_d, ts,
+                    valid, t_new, N, K_s)
+                return composite_chunk(acc, sig, rgb, dt, ts, valid_e, t0,
+                                       render_cfg.t_thresh), t_new
+            return fn
+
+        W = render_cfg.infer_warmup_rounds
+        if W > 0:
+            Kw = min(render_cfg.infer_warmup_slots, K)
+            acc_new, t_new = jax.lax.cond(
+                c["round"] < W, run_round(Kw, 2 * Kw), run_round(K, K_march),
+                operand=None)
+        else:
+            acc_new, t_new = run_round(K, K_march)(None)
         return {"t": t_new, "acc": acc_new, "round": c["round"] + 1}
 
     def body(c):
@@ -602,11 +625,13 @@ def build_march_tables(occupancy, *, render_cfg: RenderConfig):
     return field.reshape(-1), packed
 
 
-@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "max_rounds"))
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "max_rounds",
+                                   "warmup"))
 def render_rays_infer_rounds(params, skip_flat, window_packed, rays_o,
                              rays_d, t, acc, t0, fars, *,
                              model_cfg: NeRFConfig,
-                             render_cfg: RenderConfig, max_rounds: int):
+                             render_cfg: RenderConfig, max_rounds: int,
+                             warmup: bool = False):
     """March up to max_rounds inference rounds from explicit per-ray state.
 
     The phased building block behind RenderConfig.infer_repack_rounds:
@@ -634,12 +659,26 @@ def render_rays_infer_rounds(params, skip_flat, window_packed, rays_o,
     def body(c):
         t, acc_c = c["t"], c["acc"]
         alive = (acc_c["T"] >= render_cfg.t_thresh) & (t < fars)
-        t_new, ts, dt, valid, _ = march_round(t, fars, alive, K, K_march)
-        sig, rgb, valid, t_new = _eval_compacted(
-            params, model_cfg, render_cfg, rays_o, rays_d, ts, valid,
-            t_new, N, K)
-        acc_new = composite_chunk(acc_c, sig, rgb, dt, ts, valid, t0,
-                                  render_cfg.t_thresh)
+
+        def run_round(K_s, K_m):
+            def fn(_):
+                t_new, ts, dt, valid, _ = march_round(t, fars, alive,
+                                                      K_s, K_m)
+                sig, rgb, valid_e, t_new = _eval_compacted(
+                    params, model_cfg, render_cfg, rays_o, rays_d, ts,
+                    valid, t_new, N, K_s)
+                return composite_chunk(acc_c, sig, rgb, dt, ts, valid_e,
+                                       t0, render_cfg.t_thresh), t_new
+            return fn
+
+        W = render_cfg.infer_warmup_rounds if warmup else 0
+        if W > 0:
+            Kw = min(render_cfg.infer_warmup_slots, K)
+            acc_new, t_new = jax.lax.cond(
+                c["round"] < W, run_round(Kw, 2 * Kw),
+                run_round(K, K_march), operand=None)
+        else:
+            acc_new, t_new = run_round(K, K_march)(None)
         return {"t": t_new, "acc": acc_new, "round": c["round"] + 1}
 
     out = jax.lax.while_loop(

@@ -577,7 +577,7 @@ class Trainer:
                     st["t"], st["acc"], _take_tree(t0, sl),
                     _take_tree(fars, sl),
                     model_cfg=self.model_cfg, render_cfg=rcfg,
-                    max_rounds=rounds)
+                    max_rounds=rounds, warmup=phase == 0)
                 state = _put_tree(state, sl, {"t": t_new,
                                               "acc": acc_new})
                 alive_parts.append(alive)
