@@ -160,11 +160,16 @@ def _scatter_rows_dispatch(q, g2, T):
     """
     import os
 
-    from .scatter_add import scatter_add_rows, scatter_add_rows_xla
+    from .scatter_add import (scatter_add_rows, scatter_add_rows_v2,
+                              scatter_add_rows_xla)
 
     force = os.environ.get("LAENERF_FORCE_PALLAS_SCATTER") == "1"
     if force or (jax.default_backend() == "tpu"
                  and q.shape[0] >= _PALLAS_SCATTER_MIN_ROWS):
+        # v2 (narrow monotone windows, ~8x less one-hot VPU work) is the
+        # experimental default-off path until its TPU timing is recorded
+        if os.environ.get("LAENERF_SCATTER_V2") == "1":
+            return scatter_add_rows_v2(q, g2, T)
         return scatter_add_rows(q, g2, T)
     return scatter_add_rows_xla(q, g2, T)
 
