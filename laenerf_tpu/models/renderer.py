@@ -125,6 +125,14 @@ class RenderConfig:
     # rays inside a live chunk still pay every scan-iteration gather.
     # 0 disables (per-chunk while_loop to completion).
     infer_repack_rounds: int = 0
+    # raster-built sample streams (ops/raster.py): per frame, project the
+    # occupied cells into the camera and pre-compute every ray's ordered
+    # sample list with ONE sort — rendering rounds then pop samples with no
+    # skip-field gathers at all (the serialized-march floor disappears).
+    # Uses the phased/repack driver; requires dt_gamma == 0, cascades == 1,
+    # pinhole frames. Falls back to the march automatically when the
+    # builder's static capacities overflow (stream["ok"] False).
+    infer_raster: bool = False
     # per-round network-eval compaction: capacity = N*K // this. Dead rays
     # and skip events never reach the MLP/hash encoder (the XLA analogue of
     # the reference's alive-ray compaction, renderer.py:336-387). 1 disables.
@@ -685,6 +693,118 @@ def render_rays_infer_rounds(params, skip_flat, window_packed, rays_o,
         cond, body, {"t": t, "acc": acc, "round": jnp.zeros((), jnp.int32)})
     alive = (out["acc"]["T"] >= render_cfg.t_thresh) & (out["t"] < fars)
     return out["t"], out["acc"], alive
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "max_rounds",
+                                   "kbits", "warmup"))
+def render_rays_stream_rounds(params, keys, rays_o, rays_d, base, count,
+                              cursor, acc, t0, *,
+                              model_cfg: NeRFConfig,
+                              render_cfg: RenderConfig, max_rounds: int,
+                              kbits: int, warmup: bool = False):
+    """March-free rounds over a raster-built sample stream (ops/raster.py).
+
+    Each round pops the next K sample keys per alive ray from the sorted
+    stream — the per-sample key gather rides the compacted network eval's
+    existing gather stage, so the serialized skip-field lookups of the
+    event scan disappear entirely. Capacity overflow rewinds the cursor to
+    the first dropped sample (same semantics as _eval_compacted's t
+    rewind). State is caller-held for frame-global repacking.
+
+    Returns (cursor, acc, alive).
+    """
+    N = rays_o.shape[0]
+    cfg = render_cfg.march_cfg
+    dt = cfg.dt_min
+    K = render_cfg.infer_chunk_events
+    params = _with_encoder_view(params, model_cfg)
+    factor = max(render_cfg.infer_compact_factor, 1)
+
+    def run_round(c, K_s):
+        cur = c["cursor"]
+        acc_c = c["acc"]
+        alive = (acc_c["T"] >= render_cfg.t_thresh) & (cur < count)
+        offs = jnp.arange(K_s, dtype=jnp.int32)[None, :]
+        valid = (cur[:, None] + offs < count[:, None]) & alive[:, None]
+
+        # same geometric capacity-tier ladder as _eval_compacted: a round
+        # costs its chosen CAPACITY, and most rounds carry few samples
+        cbase = max((N * K_s) // factor, 2048)
+        tiers = [cbase]
+        cc = cbase // 4
+        while cc >= 2048:
+            tiers.append(cc)
+            cc //= 4
+        tiers = sorted(set(tiers))
+
+        def eval_at_cap(m_cap):
+            def fn(_):
+                gather_idx, gather_mask, dest = compact_samples(valid,
+                                                                m_cap)
+                ray_ids = gather_idx // K_s
+                slot = gather_idx - ray_ids * K_s
+                kidx = (jnp.take(base, ray_ids) + jnp.take(cur, ray_ids)
+                        + slot)
+                key = jnp.take(keys,
+                               jnp.minimum(kidx, keys.shape[0] - 1))
+                k = (key & ((1 << kbits) - 1)).astype(jnp.float32)
+                ts_c = jnp.take(t0, ray_ids) + k * dt
+                ro_c = jnp.take(rays_o, ray_ids, axis=0)
+                rd_c = jnp.take(rays_d, ray_ids, axis=0)
+                xyz_c = jnp.clip(ro_c + ts_c[:, None] * rd_c,
+                                 -render_cfg.bound, render_cfg.bound)
+                sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c,
+                                            rd_c)
+                sig_c = jnp.where(gather_mask,
+                                  sig_c * render_cfg.density_scale, 0.0)
+                packed = scatter_back(
+                    jnp.concatenate(
+                        [sig_c[:, None], rgb_c,
+                         jnp.where(gather_mask, ts_c, 0.0)[:, None]],
+                        axis=1), dest, (N, K_s))
+                sig, rgb, tsg = (packed[..., 0], packed[..., 1:4],
+                                 packed[..., 4])
+                valid_eval = valid & (dest < m_cap)
+                dtg = jnp.where(valid_eval, dt, 0.0)
+                acc_new = composite_chunk(acc_c, sig, rgb, dtg, tsg,
+                                          valid_eval, t0,
+                                          render_cfg.t_thresh)
+                adv = jnp.sum(valid_eval.astype(jnp.int32), axis=1)
+                return acc_new, jnp.where(alive, cur + adv, cur)
+            return fn
+
+        if len(tiers) == 1:
+            return eval_at_cap(tiers[0])(None)
+        bucket = jnp.minimum(
+            jnp.searchsorted(jnp.array(tiers), jnp.sum(valid),
+                             side="left"), len(tiers) - 1)
+        return jax.lax.switch(bucket, [eval_at_cap(c) for c in tiers],
+                              None)
+
+    def cond(c):
+        alive = (c["acc"]["T"] >= render_cfg.t_thresh) \
+            & (c["cursor"] < count)
+        return jnp.any(alive) & (c["round"] < max_rounds)
+
+    def body(c):
+        W = render_cfg.infer_warmup_rounds if warmup else 0
+        if W > 0:
+            Kw = min(render_cfg.infer_warmup_slots, K)
+            acc_new, cur_new = jax.lax.cond(
+                c["round"] < W,
+                lambda _: run_round(c, Kw),
+                lambda _: run_round(c, K), None)
+        else:
+            acc_new, cur_new = run_round(c, K)
+        return {"cursor": cur_new, "acc": acc_new,
+                "round": c["round"] + 1}
+
+    out = jax.lax.while_loop(
+        cond, body,
+        {"cursor": cursor, "acc": acc, "round": jnp.zeros((), jnp.int32)})
+    alive = (out["acc"]["T"] >= render_cfg.t_thresh) \
+        & (out["cursor"] < count)
+    return out["cursor"], out["acc"], alive
 
 
 @partial(jax.jit, static_argnames=("model_cfg",))

@@ -469,9 +469,12 @@ class Trainer:
             rays_o = jnp.concatenate([rays_o, rays_o[:pad]], axis=0)
             rays_d = jnp.concatenate([rays_d, rays_d[:pad]], axis=0)
         stats = os.environ.get("LAENERF_RENDER_STATS")
-        if self.render_cfg.infer_repack_rounds > 0:
+        if (self.render_cfg.infer_repack_rounds > 0
+                or self.render_cfg.infer_raster):
             img, depth = self._render_image_repack(
-                params, rays_o, rays_d, n, chunk, bg_color, stats)
+                params, rays_o, rays_d, n, chunk, bg_color, stats,
+                pose=pose, intrinsics=intrinsics, H=H, W=W,
+                order=order)
             inv_d = jnp.asarray(inv)
             img = np.asarray(jnp.take(img[:n], inv_d, axis=0)).reshape(
                 H, W, 3)
@@ -506,7 +509,8 @@ class Trainer:
         return img, depth
 
     def _render_image_repack(self, params, rays_o, rays_d, n, chunk,
-                             bg_color, stats):
+                             bg_color, stats, pose=None, intrinsics=None,
+                             H=None, W=None, order=None):
         """Phased inference with global alive-ray repacking
         (RenderConfig.infer_repack_rounds): march every chunk R rounds,
         re-pack the frame's survivors into dense chunks, repeat. The
@@ -522,15 +526,51 @@ class Trainer:
 
         from ..models.renderer import (build_march_tables,
                                        finalize_infer_image,
-                                       render_rays_infer_rounds)
-        from ..ops.raymarch import near_far_from_aabb
+                                       render_rays_infer_rounds,
+                                       render_rays_stream_rounds)
+        from ..ops.raster import (StreamCaps, build_sample_stream,
+                                  kbits_for, samples_per_pair)
+        from ..ops.raymarch import (lattice_march_supported,
+                                    near_far_from_aabb)
 
         rcfg = self.render_cfg
         cfg = rcfg.march_cfg
-        R = rcfg.infer_repack_rounds
+        R = rcfg.infer_repack_rounds or 8
         n_pad = rays_o.shape[0]
-        skip_flat, window_packed = build_march_tables(
-            self.occ_state.occupancy, render_cfg=rcfg)
+
+        # raster mode: pre-compute every ray's sample list from the
+        # occupied cells (ops/raster.py); rounds then march WITHOUT
+        # skip-field gathers. Falls back to the march when the builder's
+        # static capacities overflow for this frame.
+        stream = None
+        if (rcfg.infer_raster and pose is not None
+                and lattice_march_supported(cfg)):
+            caps = StreamCaps(samples_per_pair=samples_per_pair(cfg))
+            stream = build_sample_stream(
+                self.occ_state.occupancy, jnp.asarray(pose),
+                jnp.asarray(intrinsics), H, W, cfg, caps,
+                min_near=rcfg.min_near)
+            if not bool(stream["ok"]):
+                if stats:
+                    print("# raster stream overflow; falling back to "
+                          "march", flush=True)
+                stream = None
+        if stream is None:
+            skip_flat, window_packed = build_march_tables(
+                self.occ_state.occupancy, render_cfg=rcfg)
+        else:
+            # stream arrays are pixel-indexed; rays here are tile-ordered
+            # and padded, + one dead sentinel row (count 0)
+            pix = np.concatenate(
+                [order, order[:n_pad - n]]).astype(np.int32)
+            pix_d = jnp.asarray(pix)
+            base_r = jnp.concatenate(
+                [jnp.take(stream["base"], pix_d),
+                 jnp.zeros((1,), jnp.int32)])
+            count_r = jnp.concatenate(
+                [jnp.take(stream["count"], pix_d),
+                 jnp.zeros((1,), jnp.int32)])
+            kbits = kbits_for(cfg)
 
         # one dead sentinel row: id padding targets it, so padded lanes
         # never alias a live ray
@@ -552,6 +592,8 @@ class Trainer:
             },
         }
 
+        if stream is not None:
+            state["cursor"] = jnp.zeros((n_pad + 1,), jnp.int32)
         max_rounds = ((cfg.max_steps // rcfg.infer_chunk_events)
                       * max(rcfg.infer_compact_factor, 1))
         ids = np.arange(n_pad, dtype=np.int32)
@@ -572,14 +614,26 @@ class Trainer:
                 sl = jnp.asarray(ids_p[s:s + chunk])
                 ro, rd = _take_tree(rays_o, sl), _take_tree(rays_d, sl)
                 st = _take_tree(state, sl)
-                t_new, acc_new, alive = render_rays_infer_rounds(
-                    params, skip_flat, window_packed, ro, rd,
-                    st["t"], st["acc"], _take_tree(t0, sl),
-                    _take_tree(fars, sl),
-                    model_cfg=self.model_cfg, render_cfg=rcfg,
-                    max_rounds=rounds, warmup=phase == 0)
-                state = _put_tree(state, sl, {"t": t_new,
-                                              "acc": acc_new})
+                if stream is not None:
+                    cur_new, acc_new, alive = render_rays_stream_rounds(
+                        params, stream["keys"], ro, rd,
+                        _take_tree(base_r, sl), _take_tree(count_r, sl),
+                        st["cursor"], st["acc"], _take_tree(t0, sl),
+                        model_cfg=self.model_cfg, render_cfg=rcfg,
+                        max_rounds=rounds, kbits=kbits,
+                        warmup=phase == 0)
+                    state = _put_tree(
+                        state, sl,
+                        {"t": st["t"], "cursor": cur_new, "acc": acc_new})
+                else:
+                    t_new, acc_new, alive = render_rays_infer_rounds(
+                        params, skip_flat, window_packed, ro, rd,
+                        st["t"], st["acc"], _take_tree(t0, sl),
+                        _take_tree(fars, sl),
+                        model_cfg=self.model_cfg, render_cfg=rcfg,
+                        max_rounds=rounds, warmup=phase == 0)
+                    state = _put_tree(state, sl, {"t": t_new,
+                                                  "acc": acc_new})
                 alive_parts.append(alive)
             alive_np = np.concatenate(
                 [np.asarray(a) for a in alive_parts])[:ids.size]

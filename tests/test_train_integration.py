@@ -155,3 +155,10 @@ def test_render_image_repack_matches_plain(scene_dir):
                                             infer_window_march=True)
         img3, _ = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
         np.testing.assert_allclose(img3, img, atol=2e-3)
+
+        # raster-built sample streams: march-free rounds, same image
+        tr.render_cfg = dataclasses.replace(
+            RENDER_CFG, infer_raster=True, infer_repack_rounds=2)
+        img4, depth4 = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
+        np.testing.assert_allclose(img4, img, atol=2e-3)
+        np.testing.assert_allclose(depth4, depth, atol=2e-2)
