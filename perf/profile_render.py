@@ -32,6 +32,8 @@ parser.add_argument("--repack", type=int, default=0,
                     help="infer_repack_rounds (frame-global ray repacking)")
 parser.add_argument("--warmup_rounds", type=int, default=0,
                     help="infer_warmup_rounds")
+parser.add_argument("--raster", action="store_true",
+                    help="raster-built sample streams (march-free rounds)")
 parser.add_argument("--runs", type=int, default=2)
 parser.add_argument("--stats", action="store_true")
 parser.add_argument("--trace", type=str, default=None,
@@ -75,6 +77,8 @@ def make_render_cfg(**kw):
         base["infer_view_dtype"] = "f8"
     if args.repack:
         base["infer_repack_rounds"] = args.repack
+    if args.raster:
+        base["infer_raster"] = True
     if args.warmup_rounds:
         base["infer_warmup_rounds"] = args.warmup_rounds
     base.update(kw)

@@ -30,6 +30,11 @@ run python -u perf/profile_render.py --runs 2 --warmup_rounds 2
 run python -u perf/profile_render.py --runs 2 --window --repack 4 --view_f8
 run python -u perf/profile_render.py --runs 2 --window --repack 4 --view_f8 --warmup_rounds 2
 
+# 3b. raster streams (march-free rounds)
+run python -u perf/profile_render.py --runs 2 --raster
+run python -u perf/profile_render.py --runs 2 --raster --view_f8 --warmup_rounds 2
+run python -u perf/profile_render.py --runs 2 --raster --view_f8 --warmup_rounds 2 --chunk 65536
+
 # 4. chunk sweep on the best combo
 run python -u perf/profile_render.py --runs 2 --window --repack 4 --view_f8 --warmup_rounds 2 --chunk 65536
 run python -u perf/profile_render.py --runs 2 --window --repack 4 --view_f8 --warmup_rounds 2 --chunk 16384
