@@ -696,12 +696,12 @@ def render_rays_infer_rounds(params, skip_flat, window_packed, rays_o,
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "max_rounds",
-                                   "kbits", "warmup"))
-def render_rays_stream_rounds(params, keys, rays_o, rays_d, base, count,
+                                   "warmup"))
+def render_rays_stream_rounds(params, k16, rays_o, rays_d, base, count,
                               cursor, acc, t0, *,
                               model_cfg: NeRFConfig,
                               render_cfg: RenderConfig, max_rounds: int,
-                              kbits: int, warmup: bool = False):
+                              warmup: bool = False):
     """March-free rounds over a raster-built sample stream (ops/raster.py).
 
     Each round pops the next K sample keys per alive ray from the sorted
@@ -745,9 +745,8 @@ def render_rays_stream_rounds(params, keys, rays_o, rays_d, base, count,
                 slot = gather_idx - ray_ids * K_s
                 kidx = (jnp.take(base, ray_ids) + jnp.take(cur, ray_ids)
                         + slot)
-                key = jnp.take(keys,
-                               jnp.minimum(kidx, keys.shape[0] - 1))
-                k = (key & ((1 << kbits) - 1)).astype(jnp.float32)
+                k = jnp.take(k16, jnp.minimum(kidx, k16.shape[0] - 1)
+                             ).astype(jnp.float32)
                 ts_c = jnp.take(t0, ray_ids) + k * dt
                 ro_c = jnp.take(rays_o, ray_ids, axis=0)
                 rd_c = jnp.take(rays_d, ray_ids, axis=0)

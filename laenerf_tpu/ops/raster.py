@@ -177,5 +177,10 @@ def build_sample_stream(occupancy, pose, intrinsics, H: int, W: int,
     bounds = jnp.searchsorted(keys, ray_ids << KBITS).astype(jnp.int32)
     base = bounds[:-1]
     count = bounds[1:] - bounds[:-1]
-    return {"keys": keys, "base": base, "count": count, "ok": ok,
-            "kbits": jnp.int32(KBITS)}
+    # k16: the per-sample payload the rounds actually gather. int16 halves
+    # the gather operand (v5e row-gather cost is operand-footprint-bound);
+    # k < max_steps * bound + 2 always fits. bounds[-1] = #real keys, so
+    # the caller can slice the stream to the smallest capacity tier.
+    k16 = (keys & ((1 << KBITS) - 1)).astype(jnp.int16)
+    return {"keys": keys, "k16": k16, "base": base, "count": count,
+            "ok": ok, "total": bounds[-1]}

@@ -529,7 +529,7 @@ class Trainer:
                                        render_rays_infer_rounds,
                                        render_rays_stream_rounds)
         from ..ops.raster import (StreamCaps, build_sample_stream,
-                                  kbits_for, samples_per_pair)
+                                  samples_per_pair)
         from ..ops.raymarch import (lattice_march_supported,
                                     near_far_from_aabb)
 
@@ -555,6 +555,16 @@ class Trainer:
                     print("# raster stream overflow; falling back to "
                           "march", flush=True)
                 stream = None
+            else:
+                # slice the stream payload to the smallest capacity tier
+                # holding the real keys: gather cost is operand-footprint-
+                # bound, and the sorted tail is all sentinel padding
+                total = int(stream["total"])
+                full = stream["k16"].shape[0]
+                tier = 1 << 20
+                while tier < total and tier < full:
+                    tier *= 2
+                stream_k16 = stream["k16"][:min(tier, full)]
         if stream is None:
             skip_flat, window_packed = build_march_tables(
                 self.occ_state.occupancy, render_cfg=rcfg)
@@ -570,7 +580,6 @@ class Trainer:
             count_r = jnp.concatenate(
                 [jnp.take(stream["count"], pix_d),
                  jnp.zeros((1,), jnp.int32)])
-            kbits = kbits_for(cfg)
 
         # one dead sentinel row: id padding targets it, so padded lanes
         # never alias a live ray
@@ -616,12 +625,11 @@ class Trainer:
                 st = _take_tree(state, sl)
                 if stream is not None:
                     cur_new, acc_new, alive = render_rays_stream_rounds(
-                        params, stream["keys"], ro, rd,
+                        params, stream_k16, ro, rd,
                         _take_tree(base_r, sl), _take_tree(count_r, sl),
                         st["cursor"], st["acc"], _take_tree(t0, sl),
                         model_cfg=self.model_cfg, render_cfg=rcfg,
-                        max_rounds=rounds, kbits=kbits,
-                        warmup=phase == 0)
+                        max_rounds=rounds, warmup=phase == 0)
                     state = _put_tree(
                         state, sl,
                         {"t": st["t"], "cursor": cur_new, "acc": acc_new})
