@@ -126,6 +126,10 @@ class EditDataset:
             pad = (-n) % chunk
             ro = np.concatenate([rays_o, rays_o[:pad]]) if pad else rays_o
             rd = np.concatenate([rays_d, rays_d[:pad]]) if pad else rays_d
+            min_nears = []
+            # dispatch all chunks asynchronously (device arrays only) and
+            # fetch once at the end: a per-chunk np.asarray inserts a
+            # tunnel sync between chunks (same fix as Trainer.render_image)
             for s in range(0, n + pad, chunk):
                 out = render_rays_distill(
                     params, occ, jnp.asarray(grid),
@@ -136,10 +140,11 @@ class EditDataset:
                 )
                 for k in outs:
                     if k in out:
-                        outs[k].append(np.asarray(out[k]))
-                min_near = min(min_near, float(out["min_near"]))
-            res = {k: np.concatenate(v)[:n] for k, v in outs.items()}
-            res["min_near"] = min_near
+                        outs[k].append(out[k])
+                min_nears.append(out["min_near"])
+            res = {k: np.concatenate([np.asarray(x) for x in v])[:n]
+                   for k, v in outs.items()}
+            res["min_near"] = min(float(m) for m in min_nears)
             return res
 
         r = run(edit_grid, grow=False)

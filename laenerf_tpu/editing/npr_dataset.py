@@ -83,6 +83,7 @@ class SingleViewEditDataset:
         pad = (-n) % chunk
         ro = jnp.concatenate([rays_o, rays_o[:pad]]) if pad else rays_o
         rd = jnp.concatenate([rays_d, rays_d[:pad]]) if pad else rays_d
+        # async chunk dispatch, single fetch (no per-chunk tunnel sync)
         for s in range(0, n + pad, chunk):
             out = render_rays_distill(
                 trainer.state.ema_params, occ, occ,
@@ -91,8 +92,9 @@ class SingleViewEditDataset:
                 grow_grid=True,
             )
             for k in outs:
-                outs[k].append(np.asarray(out[k]))
-        res = {k: np.concatenate(v)[:n] for k, v in outs.items()}
+                outs[k].append(out[k])
+        res = {k: np.concatenate([np.asarray(x) for x in v])[:n]
+               for k, v in outs.items()}
         res["rays_d"] = np.asarray(rays_d)
         return res
 
