@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from ..data.rays import pixel_rays
-from ..models.renderer import render_rays_distill
 
 
 def _round_up(x, m):
@@ -113,39 +112,14 @@ class EditDataset:
     def _extract_view(self, trainer, dataset, idx, edit_grid, grow_grid,
                       smooth_transition, chunk):
         H, W = self.H, self.W
-        params = trainer.state.ema_params
-        occ = trainer.occ_state.occupancy
         rays_o, rays_d = pixel_rays(jnp.asarray(dataset.poses[idx]),
                                     jnp.asarray(dataset.intrinsics), H, W)
 
         def run(grid, grow):
-            outs = {k: [] for k in ("image", "x_term", "weights",
-                                    "weights_edit", "depth", "nears")}
-            min_near = np.inf
-            n = H * W
-            pad = (-n) % chunk
-            ro = np.concatenate([rays_o, rays_o[:pad]]) if pad else rays_o
-            rd = np.concatenate([rays_d, rays_d[:pad]]) if pad else rays_d
-            min_nears = []
-            # dispatch all chunks asynchronously (device arrays only) and
-            # fetch once at the end: a per-chunk np.asarray inserts a
-            # tunnel sync between chunks (same fix as Trainer.render_image)
-            for s in range(0, n + pad, chunk):
-                out = render_rays_distill(
-                    params, occ, jnp.asarray(grid),
-                    jnp.asarray(ro[s:s + chunk]), jnp.asarray(rd[s:s + chunk]),
-                    jax.random.PRNGKey(0),
-                    model_cfg=trainer.model_cfg, render_cfg=trainer.render_cfg,
-                    grow_grid=grow,
-                )
-                for k in outs:
-                    if k in out:
-                        outs[k].append(out[k])
-                min_nears.append(out["min_near"])
-            res = {k: np.concatenate([np.asarray(x) for x in v])[:n]
-                   for k, v in outs.items()}
-            res["min_near"] = min(float(m) for m in min_nears)
-            return res
+            # raster-stream powered when enabled, chunked march otherwise
+            return trainer.render_distill_frame(
+                grid, dataset.poses[idx], dataset.intrinsics, H, W,
+                grow_grid=grow, chunk=chunk)
 
         r = run(edit_grid, grow=False)
         w8s = r["weights_edit"].copy()

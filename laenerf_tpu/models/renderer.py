@@ -815,6 +815,142 @@ def finalize_infer_image(params, rays_o, rays_d, acc, bg_color, *,
     return image, acc["depth"]
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg",
+                                   "max_rounds"))
+def render_rays_distill_stream_rounds(params, k16, edit_flat, rays_o,
+                                      rays_d, base, count, cursor, acc,
+                                      ws_edit, depth_edit, t0, *,
+                                      model_cfg: NeRFConfig,
+                                      render_cfg: RenderConfig,
+                                      max_rounds: int):
+    """Distill-path rounds over a raster-built sample stream: the
+    march-free analogue of render_rays_distill. Each compacted sample adds
+    one edit-grid lookup (2 MB int8 operand) next to its network eval.
+
+    Returns (cursor, acc, ws_edit, depth_edit, alive).
+    """
+    N = rays_o.shape[0]
+    cfg = render_cfg.march_cfg
+    dt = cfg.dt_min
+    K = render_cfg.infer_chunk_events
+    params = _with_encoder_view(params, model_cfg)
+    factor = max(render_cfg.infer_compact_factor, 1)
+    Hg = cfg.grid_size
+    mb = min(1.0, cfg.bound)
+    scale = 0.5 * Hg / mb
+
+    def run_round(c):
+        cur = c["cursor"]
+        acc_c = c["acc"]
+        alive = (acc_c["T"] >= render_cfg.t_thresh) & (cur < count)
+        offs = jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = (cur[:, None] + offs < count[:, None]) & alive[:, None]
+
+        cbase = max((N * K) // factor, 2048)
+        tiers = [cbase]
+        cc = cbase // 4
+        while cc >= 2048:
+            tiers.append(cc)
+            cc //= 4
+        tiers = sorted(set(tiers))
+
+        def eval_at_cap(m_cap):
+            def fn(_):
+                gather_idx, gather_mask, dest = compact_samples(valid,
+                                                                m_cap)
+                ray_ids = gather_idx // K
+                slot = gather_idx - ray_ids * K
+                kidx = (jnp.take(base, ray_ids) + jnp.take(cur, ray_ids)
+                        + slot)
+                k = jnp.take(k16, jnp.minimum(kidx, k16.shape[0] - 1)
+                             ).astype(jnp.float32)
+                ts_c = jnp.take(t0, ray_ids) + k * dt
+                ro_c = jnp.take(rays_o, ray_ids, axis=0)
+                rd_c = jnp.take(rays_d, ray_ids, axis=0)
+                xyz_c = jnp.clip(ro_c + ts_c[:, None] * rd_c,
+                                 -render_cfg.bound, render_cfg.bound)
+                # edit-grid membership (march event's edit_occ analogue)
+                cell = jnp.clip((xyz_c + mb) * scale, 0.0,
+                                Hg - 1.0).astype(jnp.int32)
+                flat = (cell[:, 0] * Hg + cell[:, 1]) * Hg + cell[:, 2]
+                e_c = (jnp.take(edit_flat, flat) > 0) & gather_mask
+                sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c,
+                                            rd_c)
+                sig_c = jnp.where(gather_mask,
+                                  sig_c * render_cfg.density_scale, 0.0)
+                packed = scatter_back(
+                    jnp.concatenate(
+                        [sig_c[:, None], rgb_c,
+                         jnp.where(gather_mask, ts_c, 0.0)[:, None],
+                         e_c[:, None].astype(jnp.float32)], axis=1),
+                    dest, (N, K))
+                sig, rgb = packed[..., 0], packed[..., 1:4]
+                tsg, eg = packed[..., 4], packed[..., 5] > 0.5
+                valid_eval = valid & (dest < m_cap)
+                dtg = jnp.where(valid_eval, dt, 0.0)
+                acc_new, we, de = _composite_distill(
+                    acc_c, c["ws_edit"], c["depth_edit"], sig, rgb, dtg,
+                    tsg, valid_eval, eg, render_cfg.t_thresh)
+                adv = jnp.sum(valid_eval.astype(jnp.int32), axis=1)
+                return acc_new, we, de, jnp.where(alive, cur + adv, cur)
+            return fn
+
+        if len(tiers) == 1:
+            return eval_at_cap(tiers[0])(None)
+        bucket = jnp.minimum(
+            jnp.searchsorted(jnp.array(tiers), jnp.sum(valid),
+                             side="left"), len(tiers) - 1)
+        return jax.lax.switch(bucket, [eval_at_cap(t) for t in tiers],
+                              None)
+
+    def cond(c):
+        alive = (c["acc"]["T"] >= render_cfg.t_thresh) \
+            & (c["cursor"] < count)
+        return jnp.any(alive) & (c["round"] < max_rounds)
+
+    def body(c):
+        acc_new, we, de, cur_new = run_round(c)
+        return {"cursor": cur_new, "acc": acc_new, "ws_edit": we,
+                "depth_edit": de, "round": c["round"] + 1}
+
+    out = jax.lax.while_loop(
+        cond, body,
+        {"cursor": cursor, "acc": acc, "ws_edit": ws_edit,
+         "depth_edit": depth_edit, "round": jnp.zeros((), jnp.int32)})
+    alive = (out["acc"]["T"] >= render_cfg.t_thresh) \
+        & (out["cursor"] < count)
+    return (out["cursor"], out["acc"], out["ws_edit"], out["depth_edit"],
+            alive)
+
+
+def _composite_distill(acc, ws_edit, depth_edit, sig, rgb, dt, ts,
+                       valid, eocc, t_thresh):
+    """One distill round's accumulation (raymarching.cu:1038-1142
+    semantics): standard transmittance compositing plus edit-flagged
+    weight/depth sums. Shared by the march and stream distill paths.
+    Depth here is the ABSOLUTE ray parameter (t_abs = ts + dt)."""
+    sd = jnp.where(valid, sig * dt, 0.0)
+    csum = jnp.cumsum(sd, axis=1)
+    T_in = acc["T"][:, None]
+    T_incl = T_in * jnp.exp(-csum)
+    T_excl = T_in * jnp.exp(-(csum - sd))
+    alpha = 1.0 - jnp.exp(-sd)
+    weights = alpha * T_excl
+    prev_T = jnp.concatenate([T_in, T_incl[:, :-1]], axis=1)
+    keep = (prev_T >= t_thresh).astype(weights.dtype)
+    weights = weights * keep
+    t_abs = ts + dt  # post-increment absolute t (deltas[1]-accumulated)
+    e = (eocc & valid).astype(weights.dtype)
+    new_acc = {
+        "T": T_incl[:, -1],
+        "ws": acc["ws"] + jnp.sum(weights, axis=1),
+        "depth": acc["depth"] + jnp.sum(weights * t_abs, axis=1),
+        "rgb": acc["rgb"] + jnp.sum(weights[..., None] * rgb, axis=1),
+    }
+    return (new_acc, ws_edit + jnp.sum(weights * e, axis=1),
+            depth_edit + jnp.sum(weights * t_abs * e, axis=1))
+
+
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "perturb",
                                    "grow_grid"))
 def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
@@ -874,33 +1010,14 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
             params, model_cfg, render_cfg, rays_o, rays_d, ts, valid, t_new,
             N, K)
 
-        # shared weight computation (absolute-t depth: pass t0 = 0)
-        sd = jnp.where(valid, sig * dt, 0.0)
-        csum = jnp.cumsum(sd, axis=1)
-        T_in = c["acc"]["T"][:, None]
-        T_incl = T_in * jnp.exp(-csum)
-        T_excl = T_in * jnp.exp(-(csum - sd))
-        alpha = 1.0 - jnp.exp(-sd)
-        weights = alpha * T_excl
-        prev_T = jnp.concatenate([T_in, T_incl[:, :-1]], axis=1)
-        keep = (prev_T >= render_cfg.t_thresh).astype(weights.dtype)
-        weights = weights * keep
-        t_abs = ts + dt  # post-increment absolute t (deltas[1]-accumulated)
-
-        acc = c["acc"]
-        e = (eocc & valid).astype(weights.dtype)
-        new_acc = {
-            "T": T_incl[:, -1],
-            "ws": acc["ws"] + jnp.sum(weights, axis=1),
-            "depth": acc["depth"] + jnp.sum(weights * t_abs, axis=1),
-            "rgb": acc["rgb"] + jnp.sum(weights[..., None] * rgb, axis=1),
-        }
+        new_acc, ws_edit, depth_edit = _composite_distill(
+            c["acc"], c["ws_edit"], c["depth_edit"], sig, rgb, dt, ts,
+            valid, eocc, render_cfg.t_thresh)
         return {
             "t": t_new,
             "acc": new_acc,
-            "ws_edit": c["ws_edit"] + jnp.sum(weights * e, axis=1),
-            "depth_edit": c["depth_edit"] + jnp.sum(weights * t_abs * e,
-                                                    axis=1),
+            "ws_edit": ws_edit,
+            "depth_edit": depth_edit,
             "round": c["round"] + 1,
         }
 

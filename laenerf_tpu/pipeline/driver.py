@@ -314,21 +314,10 @@ class EditPipeline:
         that terminates inside the region (the per-view analogue of the
         reference's w8s_edit > 0.5 blend test, gui.py:459-467)."""
         tr = self.trainer
-        inds_all = np.arange(H * W, dtype=np.int32)
-        egrid = jnp.asarray(self.edit_grid.grid)
-        outs = []
-        for s in range(0, H * W, chunk):
-            inds = jnp.asarray(inds_all[s:s + chunk])
-            rays_o, rays_d = get_rays(jnp.asarray(pose),
-                                      jnp.asarray(intrinsics), inds, H, W)
-            out = render_rays_distill(
-                tr.state.ema_params, tr.occ_state.occupancy, egrid,
-                rays_o, rays_d, jax.random.PRNGKey(0),
-                model_cfg=tr.model_cfg, render_cfg=tr.render_cfg,
-            )
-            outs.append(out["weights_edit"]
-                        / jnp.maximum(out["weights"], 1e-6))
-        frac = np.asarray(jnp.concatenate(outs))[:H * W].reshape(H, W)
+        r = tr.render_distill_frame(self.edit_grid.grid, pose, intrinsics,
+                                    H, W, chunk=chunk)
+        frac = (r["weights_edit"]
+                / np.maximum(r["weights"], 1e-6)).reshape(H, W)
         return (frac > thresh).astype(np.float32)
 
     def eval_phase(self, val_dataset=None, test_dataset=None,

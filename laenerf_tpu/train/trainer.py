@@ -660,6 +660,122 @@ class Trainer:
             model_cfg=self.model_cfg)
         return image, depth
 
+    def render_distill_frame(self, edit_grid, pose, intrinsics, H, W,
+                             grow_grid=False, chunk=None, params=None):
+        """Full-frame distill-path render (image/depth/weights/edit sums/
+        x_term), raster-stream powered when RenderConfig.infer_raster is on
+        (ops/raster.py; march fallback on unsupported configs/overflow).
+        Returns a dict of np arrays [H*W, ...] + scalar min_near."""
+        import time as _time  # noqa: F401
+
+        from ..models.renderer import (render_rays_distill,
+                                       render_rays_distill_stream_rounds)
+        from ..ops.raster import (StreamCaps, build_sample_stream,
+                                  samples_per_pair)
+        from ..ops.raymarch import (lattice_march_supported,
+                                    near_far_from_aabb)
+
+        rcfg = self.render_cfg
+        cfg = rcfg.march_cfg
+        chunk = chunk or self.eval_chunk
+        params = params if params is not None else self.state.ema_params
+        egrid = jnp.asarray(edit_grid)
+        n = H * W
+        rays_o, rays_d = pixel_rays(jnp.asarray(pose),
+                                    jnp.asarray(intrinsics), H, W)
+
+        stream = None
+        if rcfg.infer_raster and lattice_march_supported(cfg):
+            march_src = egrid if grow_grid else self.occ_state.occupancy
+            caps = StreamCaps(samples_per_pair=samples_per_pair(cfg))
+            stream = build_sample_stream(
+                march_src, jnp.asarray(pose), jnp.asarray(intrinsics),
+                H, W, cfg, caps, min_near=rcfg.min_near)
+            if not bool(stream["ok"]):
+                stream = None
+
+        if stream is None:
+            outs = {k: [] for k in ("image", "depth", "depth_edit",
+                                    "weights", "weights_edit", "x_term",
+                                    "nears")}
+            min_nears = []
+            pad = (-n) % chunk
+            ro = (jnp.concatenate([rays_o, rays_o[:pad]]) if pad
+                  else rays_o)
+            rd = (jnp.concatenate([rays_d, rays_d[:pad]]) if pad
+                  else rays_d)
+            for s in range(0, n + pad, chunk):
+                out = render_rays_distill(
+                    params, self.occ_state.occupancy, egrid,
+                    ro[s:s + chunk], rd[s:s + chunk],
+                    jax.random.PRNGKey(0), model_cfg=self.model_cfg,
+                    render_cfg=rcfg, grow_grid=grow_grid)
+                for k in outs:
+                    outs[k].append(out[k])
+                min_nears.append(out["min_near"])
+            res = {k: np.concatenate([np.asarray(x) for x in v])[:n]
+                   for k, v in outs.items()}
+            res["min_near"] = min(float(m) for m in min_nears)
+            return res
+
+        total = int(stream["total"])
+        full = stream["k16"].shape[0]
+        tier = 1 << 20
+        while tier < total and tier < full:
+            tier *= 2
+        k16 = stream["k16"][:min(tier, full)]
+        edit_flat = egrid.reshape(-1)
+        aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                         rcfg.min_near)
+        max_rounds = ((cfg.max_steps // rcfg.infer_chunk_events)
+                      * max(rcfg.infer_compact_factor, 1))
+        pad = (-n) % chunk
+        parts = {k: [] for k in ("acc", "ws_edit", "depth_edit")}
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            npad = chunk - (e - s)
+            sl = jnp.arange(s, s + chunk, dtype=jnp.int32)
+            sl = jnp.minimum(sl, n - 1)  # tail pad re-renders last rays
+            ro = jnp.take(rays_o, sl, axis=0)
+            rd = jnp.take(rays_d, sl, axis=0)
+            t0s = jnp.take(nears, sl)
+            A = chunk
+            acc0 = {"T": jnp.ones((A,), jnp.float32),
+                    "ws": jnp.zeros((A,), jnp.float32),
+                    "depth": jnp.zeros((A,), jnp.float32),
+                    "rgb": jnp.zeros((A, 3), jnp.float32)}
+            cur, acc, we, de, _ = render_rays_distill_stream_rounds(
+                params, k16, edit_flat, ro, rd,
+                jnp.take(stream["base"], sl),
+                jnp.take(stream["count"], sl),
+                jnp.zeros((A,), jnp.int32), acc0,
+                jnp.zeros((A,), jnp.float32),
+                jnp.zeros((A,), jnp.float32), t0s,
+                model_cfg=self.model_cfg, render_cfg=rcfg,
+                max_rounds=max_rounds)
+            parts["acc"].append(jax.tree.map(lambda a: a[:e - s], acc))
+            parts["ws_edit"].append(we[:e - s])
+            parts["depth_edit"].append(de[:e - s])
+            del npad
+        acc = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                           *parts["acc"])
+        ws_edit = jnp.concatenate(parts["ws_edit"])
+        depth_edit = jnp.concatenate(parts["depth_edit"])
+        depth = np.asarray(acc["depth"])
+        rays_d_np = np.asarray(rays_d)
+        res = {
+            "image": np.asarray(acc["rgb"]),
+            "depth": depth,
+            "depth_edit": np.asarray(depth_edit),
+            "weights": np.asarray(acc["ws"]),
+            "weights_edit": np.asarray(ws_edit),
+            "x_term": np.asarray(rays_o) + depth[:, None] * rays_d_np,
+            "nears": np.asarray(nears),
+            "min_near": float(np.min(np.asarray(nears))),
+        }
+        return res
+
     def evaluate(self, dataset, max_views: Optional[int] = None):
         """PSNR/SSIM/LPIPS over a dataset split (utils.py:1526-1624); LPIPS
         activates automatically when local VGG weights exist."""

@@ -75,3 +75,40 @@ def test_stream_matches_event_march_samples():
     # resolve boundary lattice points with the same half-open convention,
     # so only float-noise stragglers may differ
     assert n_diff <= max(2, N // 100), f"{n_diff}/{N} rays differ"
+
+
+def test_distill_frame_stream_matches_march():
+    """render_distill_frame with raster streams must match the chunked
+    render_rays_distill fallback (image, weights, edit sums, x_term)."""
+    import dataclasses
+    import tempfile
+
+    from laenerf_tpu.data import NeRFDataset, generate_synthetic_scene
+    from laenerf_tpu.models import NeRFConfig, RenderConfig
+    from laenerf_tpu.train import Trainer
+
+    tmp = tempfile.mkdtemp(prefix="raster_distill_")
+    generate_synthetic_scene(tmp, n_train=6, n_val=1, n_test=1, H=48, W=48)
+    ds = NeRFDataset(tmp, "train", num_rays=512)
+    mc = NeRFConfig(bound=1.0, num_levels=8, log2_hashmap_size=15)
+    rc = RenderConfig(bound=1.0, cascades=1, grid_size=32, max_steps=256,
+                      march_iters=192, m_cap_per_ray=48)
+    tr = Trainer(tmp + "/ws", mc, rc, lr=1e-2, iters=1000, eval_chunk=1024)
+    tr.mark_untrained(ds)
+    for step in range(50):
+        tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
+
+    # edit region: a ball around the densest area
+    g = np.linspace(-1, 1, 32) + 1 / 32
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    egrid = ((X ** 2 + Y ** 2 + Z ** 2) < 0.2).astype(np.uint8)[None]
+
+    ref = tr.render_distill_frame(egrid, ds.poses[0], ds.intrinsics,
+                                  48, 48)
+    tr.render_cfg = dataclasses.replace(rc, infer_raster=True)
+    got = tr.render_distill_frame(egrid, ds.poses[0], ds.intrinsics,
+                                  48, 48)
+    for k in ("image", "weights", "weights_edit", "depth", "depth_edit",
+              "x_term"):
+        np.testing.assert_allclose(got[k], ref[k], atol=3e-3,
+                                   err_msg=k)
