@@ -113,7 +113,9 @@ class RenderConfig:
     # samples, so full-width first rounds evaluate (K - ~4) samples per
     # surface ray that the composite then discards — the reference's
     # n_step = 1, 2, 4, ... schedule (renderer.py:348-352) exists for the
-    # same reason. 0 disables.
+    # same reason. 0 disables. NOTE: only wired into the single-tier body
+    # and the stream/repack paths; ignored when infer_ray_tiers > 1 (the
+    # legacy tiered body has no warmup branch).
     infer_warmup_rounds: int = 0
     infer_warmup_slots: int = 4
     # global cross-chunk ray repacking: > 0 makes Trainer.render_image run
@@ -826,6 +828,10 @@ def render_rays_distill_stream_rounds(params, k16, edit_flat, rays_o,
     """Distill-path rounds over a raster-built sample stream: the
     march-free analogue of render_rays_distill. Each compacted sample adds
     one edit-grid lookup (2 MB int8 operand) next to its network eval.
+
+    NOTE: the compaction/eval/tier-ladder body intentionally mirrors
+    render_rays_stream_rounds — keep edits to either in sync (the shared
+    piece that differs only in composite is _composite_distill).
 
     Returns (cursor, acc, ws_edit, depth_edit, alive).
     """

@@ -120,7 +120,13 @@ def build_sample_stream(occupancy, pose, intrinsics, H: int, W: int,
     # -- 3. rank-expand to (cell, pixel) pairs ---------------------------
     cum = jnp.cumsum(area)
     total_pairs = cum[-1]
-    ok = (total_pairs <= caps.pairs) & ~jnp.any(cell_ok & behind)
+    # overflow checks: n_cells beyond the static capacity silently
+    # truncates the nonzero() list, and the int32 area cumsum can WRAP for
+    # pathological close-up frames — validate the total in f32 (exact
+    # comparison matters only near caps.pairs ~ 2^21, well within f32)
+    total_f = jnp.cumsum(area.astype(jnp.float32))[-1]
+    ok = ((total_f <= caps.pairs) & (n_cells <= caps.cells)
+          & ~jnp.any(cell_ok & behind))
     pid = jnp.arange(caps.pairs, dtype=jnp.int32)
     ci = jnp.searchsorted(cum, pid, side="right").astype(jnp.int32)
     ci = jnp.minimum(ci, caps.cells - 1)
@@ -184,3 +190,16 @@ def build_sample_stream(occupancy, pose, intrinsics, H: int, W: int,
     k16 = (keys & ((1 << KBITS) - 1)).astype(jnp.int16)
     return {"keys": keys, "k16": k16, "base": base, "count": count,
             "ok": ok, "total": bounds[-1]}
+
+
+def slice_stream_payload(stream):
+    """Host-side: slice the sorted k16 payload to the smallest power-of-two
+    capacity tier holding the real keys. Gather cost is operand-footprint-
+    bound on v5e and the sorted tail is all sentinel padding. Syncs once
+    (fetches the scalar total)."""
+    total = int(stream["total"])
+    full = stream["k16"].shape[0]
+    tier = 1 << 20
+    while tier < total and tier < full:
+        tier *= 2
+    return stream["k16"][:min(tier, full)]

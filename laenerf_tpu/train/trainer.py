@@ -529,7 +529,7 @@ class Trainer:
                                        render_rays_infer_rounds,
                                        render_rays_stream_rounds)
         from ..ops.raster import (StreamCaps, build_sample_stream,
-                                  samples_per_pair)
+                                  samples_per_pair, slice_stream_payload)
         from ..ops.raymarch import (lattice_march_supported,
                                     near_far_from_aabb)
 
@@ -556,15 +556,7 @@ class Trainer:
                           "march", flush=True)
                 stream = None
             else:
-                # slice the stream payload to the smallest capacity tier
-                # holding the real keys: gather cost is operand-footprint-
-                # bound, and the sorted tail is all sentinel padding
-                total = int(stream["total"])
-                full = stream["k16"].shape[0]
-                tier = 1 << 20
-                while tier < total and tier < full:
-                    tier *= 2
-                stream_k16 = stream["k16"][:min(tier, full)]
+                stream_k16 = slice_stream_payload(stream)
         if stream is None:
             skip_flat, window_packed = build_march_tables(
                 self.occ_state.occupancy, render_cfg=rcfg)
@@ -618,7 +610,10 @@ class Trainer:
             pad_ids = (-ids.size) % chunk
             ids_p = np.concatenate(
                 [ids, np.full((pad_ids,), n_pad, np.int32)])
-            alive_parts = []
+            # accumulate per-chunk results and scatter them back ONCE per
+            # phase: a per-chunk _put_tree would rebuild every full-frame
+            # leaf n_chunks times (O(frame) copies each)
+            alive_parts, sls, news = [], [], []
             for s in range(0, ids_p.size, chunk):
                 sl = jnp.asarray(ids_p[s:s + chunk])
                 ro, rd = _take_tree(rays_o, sl), _take_tree(rays_d, sl)
@@ -630,9 +625,8 @@ class Trainer:
                         st["cursor"], st["acc"], _take_tree(t0, sl),
                         model_cfg=self.model_cfg, render_cfg=rcfg,
                         max_rounds=rounds, warmup=phase == 0)
-                    state = _put_tree(
-                        state, sl,
-                        {"t": st["t"], "cursor": cur_new, "acc": acc_new})
+                    news.append({"t": st["t"], "cursor": cur_new,
+                                 "acc": acc_new})
                 else:
                     t_new, acc_new, alive = render_rays_infer_rounds(
                         params, skip_flat, window_packed, ro, rd,
@@ -640,9 +634,12 @@ class Trainer:
                         _take_tree(fars, sl),
                         model_cfg=self.model_cfg, render_cfg=rcfg,
                         max_rounds=rounds, warmup=phase == 0)
-                    state = _put_tree(state, sl, {"t": t_new,
-                                                  "acc": acc_new})
+                    news.append({"t": t_new, "acc": acc_new})
+                sls.append(sl)
                 alive_parts.append(alive)
+            state = _put_tree(
+                state, jnp.concatenate(sls),
+                jax.tree.map(lambda *xs: jnp.concatenate(xs), *news))
             alive_np = np.concatenate(
                 [np.asarray(a) for a in alive_parts])[:ids.size]
             if stats:
@@ -666,12 +663,10 @@ class Trainer:
         x_term), raster-stream powered when RenderConfig.infer_raster is on
         (ops/raster.py; march fallback on unsupported configs/overflow).
         Returns a dict of np arrays [H*W, ...] + scalar min_near."""
-        import time as _time  # noqa: F401
-
         from ..models.renderer import (render_rays_distill,
                                        render_rays_distill_stream_rounds)
         from ..ops.raster import (StreamCaps, build_sample_stream,
-                                  samples_per_pair)
+                                  samples_per_pair, slice_stream_payload)
         from ..ops.raymarch import (lattice_march_supported,
                                     near_far_from_aabb)
 
@@ -718,23 +713,16 @@ class Trainer:
             res["min_near"] = min(float(m) for m in min_nears)
             return res
 
-        total = int(stream["total"])
-        full = stream["k16"].shape[0]
-        tier = 1 << 20
-        while tier < total and tier < full:
-            tier *= 2
-        k16 = stream["k16"][:min(tier, full)]
+        k16 = slice_stream_payload(stream)
         edit_flat = egrid.reshape(-1)
         aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
         nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
                                          rcfg.min_near)
         max_rounds = ((cfg.max_steps // rcfg.infer_chunk_events)
                       * max(rcfg.infer_compact_factor, 1))
-        pad = (-n) % chunk
         parts = {k: [] for k in ("acc", "ws_edit", "depth_edit")}
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
-            npad = chunk - (e - s)
             sl = jnp.arange(s, s + chunk, dtype=jnp.int32)
             sl = jnp.minimum(sl, n - 1)  # tail pad re-renders last rays
             ro = jnp.take(rays_o, sl, axis=0)
@@ -757,7 +745,6 @@ class Trainer:
             parts["acc"].append(jax.tree.map(lambda a: a[:e - s], acc))
             parts["ws_edit"].append(we[:e - s])
             parts["depth_edit"].append(de[:e - s])
-            del npad
         acc = jax.tree.map(lambda *xs: jnp.concatenate(xs),
                            *parts["acc"])
         ws_edit = jnp.concatenate(parts["ws_edit"])

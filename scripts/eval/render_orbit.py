@@ -21,8 +21,6 @@ parser.add_argument("--workspace", required=True,
                     help="quality_gate-style workspace (scene/ + ws/)")
 parser.add_argument("--frames", type=int, default=30)
 parser.add_argument("--H", type=int, default=400)
-parser.add_argument("--theta", type=float, default=1.0)
-parser.add_argument("--radius", type=float, default=3.5)
 parser.add_argument("--arc", type=float, default=0.6,
                     help="orbit arc in radians across all frames (small ->"
                          " adjacent frames overlap, as a video does)")
@@ -43,7 +41,8 @@ try:
 except ImportError:
     import imageio
 
-from laenerf_tpu.data.synthetic import _look_at_pose
+from laenerf_tpu.data import NeRFDataset
+from laenerf_tpu.data.provider import _slerp
 from laenerf_tpu.models import NeRFConfig, RenderConfig
 from laenerf_tpu.train import Trainer
 from laenerf_tpu.utils import enable_compilation_cache
@@ -62,18 +61,24 @@ tr = Trainer(os.path.join(args.workspace, "ws"), model_cfg, render_cfg,
 assert tr.load_checkpoint("latest"), "no checkpoint in workspace"
 
 H = W = args.H
-camera_angle_x = 0.8
-focal = W / (2 * np.tan(camera_angle_x / 2))
-intr = np.array([focal, focal, W / 2, H / 2], np.float32)
+# camera path: slerp between consecutive TRAIN poses, so every frame is in
+# the dataset's (ngp-converted) camera convention and scale — the same
+# protocol as the provider's video split (data/provider.py:124-137)
+train_ds = NeRFDataset(os.path.join(args.workspace, "scene"), "train")
+intr = train_ds.intrinsics * (H / train_ds.H)
+intr[2], intr[3] = W / 2, H / 2
+span = max(2, int(round(args.arc / (2 * np.pi) * len(train_ds))))
+anchors = [train_ds.poses[i % len(train_ds)] for i in range(span + 1)]
 
 out_dir = args.out_dir or os.path.join(args.workspace, "orbit_frames")
 os.makedirs(out_dir, exist_ok=True)
 for k in range(args.frames):
-    phi = args.arc * (k / max(args.frames - 1, 1))
-    eye = (args.radius * np.sin(args.theta) * np.cos(phi),
-           args.radius * np.sin(args.theta) * np.sin(phi),
-           args.radius * np.cos(args.theta))
-    pose = _look_at_pose(eye)
+    x = (k / max(args.frames - 1, 1)) * span
+    i, frac = int(min(x, span - 1e-6)), x - int(min(x, span - 1e-6))
+    p0, p1 = np.asarray(anchors[i]), np.asarray(anchors[i + 1])
+    pose = p0.copy()
+    pose[:3, :3] = _slerp(p0[:3, :3], p1[:3, :3], frac)
+    pose[:3, 3] = (1 - frac) * p0[:3, 3] + frac * p1[:3, 3]
     img, _ = tr.render_image(pose, intr, H, W)
     imageio.imwrite(os.path.join(out_dir, f"f_{k:04d}.png"),
                     (np.clip(img, 0, 1) * 255).astype(np.uint8))
