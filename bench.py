@@ -48,10 +48,22 @@ def main():
     # corners as one bf16 row (ops/hashgrid).
     model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
                            log2_hashmap_size=19)
+    # LAENERF_BENCH_RENDER: comma list of {raster,repack,window,f8,warmup}
+    # for render-mode A/Bs without editing the file (perf/r3_runbook.sh)
+    modes = set(filter(None, os.environ.get(
+        "LAENERF_BENCH_RENDER", "").split(",")))
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
                               m_cap_per_ray=16, density_thresh=10.0,
-                              infer_chunk_events=16, infer_compact_factor=4)
+                              infer_chunk_events=16, infer_compact_factor=4,
+                              infer_raster="raster" in modes,
+                              infer_repack_rounds=4 if "repack" in modes
+                              else 0,
+                              infer_window_march="window" in modes,
+                              infer_view_dtype="f8" if "f8" in modes
+                              else "",
+                              infer_warmup_rounds=2 if "warmup" in modes
+                              else 0)
     tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
                  eval_chunk=32768)
     tr.mark_untrained(ds)
@@ -136,6 +148,7 @@ def main():
         "warm_steps": warm_steps,
         "setup_s": round(time.time() - t_setup, 1),
         "xla_cache_misses": compile_cache_stats()[0] - cache0[0],
+        "render_modes": sorted(modes) or ["march"],
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
