@@ -77,6 +77,18 @@ class SingleViewEditDataset:
                                     jnp.asarray(dataset.intrinsics), H, W,
                                     dir_offset=dir_offset)
         occ = trainer.occ_state.occupancy
+        if dir_offset is None:
+            # pixel-center frames take the raster-stream path when enabled
+            # (jittered AA renders keep the march: the stream assumes the
+            # get_rays pixel-center geometry)
+            r = trainer.render_distill_frame(occ, dataset.poses[idx],
+                                             dataset.intrinsics, H, W,
+                                             grow_grid=True,
+                                             chunk=self.eval_chunk,
+                                             params=trainer.state.ema_params)
+            res = {k: r[k] for k in ("image", "x_term", "weights", "depth")}
+            res["rays_d"] = np.asarray(rays_d)
+            return res
         outs = {k: [] for k in ("image", "x_term", "weights", "depth")}
         n = H * W
         chunk = self.eval_chunk
