@@ -38,6 +38,12 @@ parser.add_argument("--aa", type=int, default=2,
                          "of silhouette noise into the metric (VERDICT r2)")
 parser.add_argument("--min_psnr", type=float, default=0.0,
                     help="fail (exit 1) if test PSNR lands below this")
+parser.add_argument("--render_aa", type=int, default=1,
+                    help="supersample eval renders by this factor and "
+                         "box-downsample (the renderer integrates one ray "
+                         "per pixel; the GT is aa=2 — this removes the "
+                         "silhouette-aliasing term from the metric at "
+                         "aa^2 x render cost). 1 = reference protocol.")
 # model/march experiment knobs (round-3 quality sweep)
 parser.add_argument("--num_levels", type=int, default=8)
 parser.add_argument("--level_dim", type=int, default=4)
@@ -126,8 +132,16 @@ from laenerf_tpu.train.metrics import LPIPSMeter, psnr_meter, ssim_meter
 pm, sm, lm = psnr_meter(), ssim_meter(), LPIPSMeter()
 t0 = time.time()
 for i in range(len(test_ds)):
-    img, _ = tr.render_image(test_ds.poses[i], test_ds.intrinsics,
-                             test_ds.H, test_ds.W)
+    if args.render_aa > 1:
+        a = args.render_aa
+        intr_aa = test_ds.intrinsics * a
+        intr_aa[2], intr_aa[3] = test_ds.W * a / 2, test_ds.H * a / 2
+        img, _ = tr.render_image(test_ds.poses[i], intr_aa,
+                                 test_ds.H * a, test_ds.W * a)
+        img = img.reshape(test_ds.H, a, test_ds.W, a, 3).mean(axis=(1, 3))
+    else:
+        img, _ = tr.render_image(test_ds.poses[i], test_ds.intrinsics,
+                                 test_ds.H, test_ds.W)
     gt = test_ds.images[i]
     if gt.shape[-1] == 4:
         gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
@@ -145,6 +159,7 @@ result = {
     "test_lpips": round(lm.measure(), 4) if lm.available else None,
     "render_s_per_frame": round(render_time, 2),
     "n_train_views": args.n_train,
+    "render_aa": args.render_aa,
     "model": {"num_levels": args.num_levels, "level_dim": args.level_dim,
               "lg": args.lg, "max_steps": args.max_steps},
     "device": str(jax.devices()[0]),
