@@ -49,9 +49,13 @@ def main():
     model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
                            log2_hashmap_size=19)
     # LAENERF_BENCH_RENDER: comma list of {raster,repack,window,f8,warmup}
-    # for render-mode A/Bs without editing the file (perf/r3_runbook.sh)
-    modes = set(filter(None, os.environ.get(
-        "LAENERF_BENCH_RENDER", "").split(",")))
+    # for render-mode A/Bs without editing the file (perf/r3_runbook.sh).
+    # "auto" (the default) tries raster+warmup and self-validates against a
+    # march render before trusting it (see below).
+    mode_env = os.environ.get("LAENERF_BENCH_RENDER", "auto")
+    auto = mode_env == "auto"
+    modes = (set() if auto
+             else set(filter(None, mode_env.split(","))))
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
                               m_cap_per_ray=16, density_thresh=10.0,
@@ -99,12 +103,39 @@ def main():
     train_iters_per_sec = n_train_iters / (time.time() - t0)
 
     # --- render rays/sec at 800x800 ---
+    import dataclasses
+
     H = W = 800
     # scale intrinsics from the dataset's 100x100
     intr = ds.intrinsics * (H / ds.H)
     intr[2], intr[3] = W / 2, H / 2
     # warmup render (compile)
-    tr.render_image(ds.poses[0], intr, H, W)
+    img_march, _ = tr.render_image(ds.poses[0], intr, H, W)
+    if auto:
+        # self-validating fast mode: raster sample streams + warm-up
+        # rounds (both exact-parity by design and CPU-tested; this guards
+        # against TPU-toolchain surprises). Falls back to the march path
+        # on any error or image mismatch.
+        saved = tr.render_cfg
+        try:
+            tr.render_cfg = dataclasses.replace(tr.render_cfg,
+                                                infer_raster=True,
+                                                infer_warmup_rounds=2)
+            img_fast, _ = tr.render_image(ds.poses[0], intr, H, W)
+            mse = float(np.mean((img_fast - img_march) ** 2))
+            if mse < 1e-4:
+                modes = {"raster", "warmup"}
+                print(f"# auto render mode: raster+warmup "
+                      f"(parity mse {mse:.2e})", file=sys.stderr,
+                      flush=True)
+            else:
+                tr.render_cfg = saved
+                print(f"# auto render mode: march (parity mse {mse:.2e} "
+                      "too large)", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            tr.render_cfg = saved
+            print(f"# auto render mode: march (fast path failed: {e})",
+                  file=sys.stderr, flush=True)
     n_renders = 4
     t0 = time.time()
     for i in range(n_renders):
