@@ -9,6 +9,7 @@ nerf_synthetic/lego, exercising the same data pipeline
 (blender splits, camera_angle_x intrinsics, alpha channel).
 """
 
+import functools
 import json
 import os
 
@@ -187,27 +188,16 @@ def _render_view(pose, H, W, focal, spheres, n_steps=384, aa: int = 1):
     return _render_view_offset(pose, H, W, focal, spheres, n_steps, 0.0, 0.0)
 
 
-def _render_view_offset(pose, H, W, focal, spheres, n_steps, ox, oy):
+def _render_chunk_jit():
+    """Module-level jitted GT ray renderer. A per-view closure would
+    recompile (or at best reload the persistent cache) for EVERY view and
+    aa offset — at 800^2 on the tunneled TPU that turned scene generation
+    into hours (r4 session). One compile per (chunk shape, n_steps)."""
     import jax
     import jax.numpy as jnp
 
-    pa = {k: jnp.asarray(v) for k, v in _prim_arrays(spheres).items()}
-
-    i, j = np.meshgrid(np.arange(W) + 0.5 + ox, np.arange(H) + 0.5 + oy,
-                       indexing="xy")
-    dirs_cam = np.stack(
-        [(i - W / 2) / focal, -(j - H / 2) / focal, -np.ones_like(i)], -1
-    )
-    dirs = dirs_cam @ pose[:3, :3].T
-    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
-    dirs = jnp.asarray(dirs.reshape(-1, 3), jnp.float32)
-    origin = jnp.asarray(pose[:3, 3], jnp.float32)
-
-    ts = jnp.linspace(1.0, 7.0, n_steps, dtype=jnp.float32)
-    dt = float((7.0 - 1.0) / (n_steps - 1))
-
-    @jax.jit
-    def render_chunk(d):
+    @functools.partial(jax.jit, static_argnames=("dt",))
+    def render_chunk(pa, origin, d, ts, dt):
         def eval_scene(pts):
             # pts [B, 3]; per-prim membership [B, P]
             rel = pts[:, None, :] - pa["center"][None]  # [B, P, 3]
@@ -250,15 +240,48 @@ def _render_view_offset(pose, H, W, focal, spheres, n_steps, ox, oy):
         (T, img, acc), _ = jax.lax.scan(step, init, ts)
         return img, acc
 
+    return render_chunk
+
+
+_RENDER_CHUNK = None
+
+
+def _render_view_offset(pose, H, W, focal, spheres, n_steps, ox, oy):
+    import jax.numpy as jnp
+
+    global _RENDER_CHUNK
+    if _RENDER_CHUNK is None:
+        _RENDER_CHUNK = _render_chunk_jit()
+
+    pa = {k: jnp.asarray(v) for k, v in _prim_arrays(spheres).items()}
+
+    i, j = np.meshgrid(np.arange(W) + 0.5 + ox, np.arange(H) + 0.5 + oy,
+                       indexing="xy")
+    dirs_cam = np.stack(
+        [(i - W / 2) / focal, -(j - H / 2) / focal, -np.ones_like(i)], -1
+    )
+    dirs = dirs_cam @ pose[:3, :3].T
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs.reshape(-1, 3), jnp.float32)
+    origin = jnp.asarray(pose[:3, 3], jnp.float32)
+
+    ts = jnp.linspace(1.0, 7.0, n_steps, dtype=jnp.float32)
+    dt = float((7.0 - 1.0) / (n_steps - 1))
+
     n = H * W
     chunk = 1 << 16
+    # pad the ray count to a chunk multiple: ONE compiled shape for every
+    # (H, W) instead of a fresh ragged-tail compile per resolution
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    dirs = jnp.concatenate(
+        [dirs, jnp.zeros((n_pad - n, 3), jnp.float32)]) if n_pad > n else dirs
     imgs, accs = [], []
-    for s in range(0, n, chunk):
-        im, ac = render_chunk(dirs[s:s + chunk])
+    for s in range(0, n_pad, chunk):
+        im, ac = _RENDER_CHUNK(pa, origin, dirs[s:s + chunk], ts, dt)
         imgs.append(im)
         accs.append(ac)
-    img = np.asarray(jnp.concatenate(imgs)).reshape(H, W, 3)
-    acc = np.asarray(jnp.concatenate(accs)).reshape(H, W)
+    img = np.asarray(jnp.concatenate(imgs))[:n].reshape(H, W, 3)
+    acc = np.asarray(jnp.concatenate(accs))[:n].reshape(H, W)
     return img, acc
 
 

@@ -223,6 +223,7 @@ def scatter_add_rows_xla(idx, g, table_rows: int):
 
 TILE_W = 512  # v2 window rows
 GRP = 128  # updates per grid step
+SLAB = 8  # qs groups per fetched slab (int32 Mosaic blocks need >=8 sublanes)
 
 
 def _kernel_v2(wt_ref, first_ref, qs_ref, base_ref, gs_ref, out_ref, *,
@@ -236,7 +237,14 @@ def _kernel_v2(wt_ref, first_ref, qs_ref, base_ref, gs_ref, out_ref, *,
         # contents (donated alias -> pass-1 results on later passes)
         out_ref[:] = base_ref[:]
 
-    local = qs_ref[0, :] - base  # [GRP] int32; >= 0 by construction
+    # qs arrives as the SLAB-group slab containing g: a (1, GRP) int32
+    # block has sublane dim 1, which this Mosaic build cannot lower
+    # (measured: TPU lowering error, r4 session). Select row g % SLAB with
+    # a masked reduce — no dynamic sublane slicing either.
+    row = g % SLAB
+    sel = jax.lax.broadcasted_iota(jnp.int32, (SLAB, GRP), 0) == row
+    qrow = jnp.sum(jnp.where(sel, qs_ref[:], 0), axis=0)  # [GRP]
+    local = qrow - base  # int32; >= 0 by construction
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, GRP), 0)
     # window-overflow updates (local >= TILE_W) match no row: dropped here,
     # handled by the next pass
@@ -260,7 +268,7 @@ def _make_call_v2(n_groups: int, n_tiles: int, c: int, split: bool,
         num_scalar_prefetch=2,  # wt, first
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, GRP), lambda g, wt, first: (g, 0),
+            pl.BlockSpec((SLAB, GRP), lambda g, wt, first: (g // SLAB, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_W, c), lambda g, wt, first: (wt[g], 0),
                          memory_space=pltpu.VMEM),
@@ -320,9 +328,10 @@ def scatter_add_rows_v2(idx, g, table_rows: int, *, precision: str = "bf16",
     gdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     gs = jnp.take(g.astype(gdt), order, axis=0)
 
-    # pad the stream to a GRP multiple with parked updates on the last row
-    # of the padded table (zero contribution rows)
-    pad = (-Q) % GRP
+    # pad the stream to a SLAB*GRP multiple (the kernel fetches qs in
+    # SLAB-group slabs) with parked updates on the last row of the padded
+    # table (zero contribution rows)
+    pad = (-Q) % (SLAB * GRP)
     sentinel = jnp.int32(T_pad - 1)
     qs = jnp.concatenate([qs, jnp.full((pad,), sentinel, jnp.int32)])
     gs = jnp.concatenate([gs, jnp.zeros((pad, C), gdt)])
@@ -348,7 +357,7 @@ def scatter_add_rows_v2(idx, g, table_rows: int, *, precision: str = "bf16",
                                       interpret)
         if p == max_passes - 1:
             break
-        cap = max(GRP, ((cap // 3) // GRP) * GRP)
+        cap = max(SLAB * GRP, ((cap // 3) // (SLAB * GRP)) * (SLAB * GRP))
         rank = jnp.cumsum(spill.astype(jnp.int32)) - 1
         keep = spill & (rank < cap)
         ofl = spill & (rank >= cap)

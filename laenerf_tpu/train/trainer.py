@@ -66,7 +66,8 @@ def make_optimizer(lr: float, iters: int):
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "optimizer",
                                    "ema_decay", "has_alpha", "bg_white",
                                    "H", "W", "distill", "patch_lpips_fn",
-                                   "patch_size", "mesh"))
+                                   "patch_size", "mesh"),
+         donate_argnames=("state",))
 def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
                key, *, model_cfg: NeRFConfig, render_cfg: RenderConfig,
                optimizer, ema_decay: float, has_alpha: bool, bg_white: bool,
@@ -184,7 +185,8 @@ def train_step(state: TrainState, occupancy, pose, intrinsics, inds, pixels,
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "optimizer",
                                    "ema_decay", "H", "W", "style_weight_d",
-                                   "depth_weight_d"))
+                                   "depth_weight_d"),
+         donate_argnames=("state",))
 def train_step_npr(state: TrainState, occupancy, pose, intrinsics, inds,
                    target, style_img, target_weights, depth_target,
                    depth_weights, key, *, model_cfg: NeRFConfig,
@@ -268,7 +270,9 @@ class Trainer:
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
-            ema_params=params,
+            # a fresh copy: train_step donates the state, and params/ema
+            # aliasing the same buffers would be a double donation
+            ema_params=jax.tree.map(jnp.array, params),
             step=jnp.zeros((), jnp.int32),
         )
         self.occ_state = occupancy_init(render_cfg.cascades,

@@ -71,12 +71,14 @@ jax.block_until_ready(dev_args)
 
 
 def step_only():
+    # train_step donates its state; rebind so the next call gets live buffers
     st, aux = train_step(
         tr.state, tr.occ_state.occupancy, *dev_args, key,
         model_cfg=tr.model_cfg, render_cfg=tr.render_cfg,
         optimizer=tr.optimizer, ema_decay=tr.ema_decay, has_alpha=True,
         bg_white=tr.bg_white, H=batch["H"], W=batch["W"],
         patch_lpips_fn=tr.patch_lpips_fn, patch_size=tr.patch_size)
+    tr.state = st
     return aux["loss"]
 
 timeit(step_only, n=32, label="train_step jitted, device args")
@@ -93,6 +95,7 @@ def step_prep():
         optimizer=tr.optimizer, ema_decay=tr.ema_decay, has_alpha=True,
         bg_white=tr.bg_white, H=batch["H"], W=batch["W"],
         patch_lpips_fn=tr.patch_lpips_fn, patch_size=tr.patch_size)
+    tr.state = st
     return aux["loss"]
 
 timeit(step_prep, n=32, label="train_step + asarray + next_key")

@@ -39,6 +39,12 @@ parser.add_argument("--grow_iterations", type=int, default=4000,
                     help="BFS region-growing budget; the density graph is "
                          "connected, so an unbounded grow floods from the "
                          "selected part into the whole object")
+# NeRF model shape — must match the checkpoint quality_gate.py trained
+# (round 4 moved the gate to the reference's L16 C2 ladder)
+parser.add_argument("--num_levels", type=int, default=8)
+parser.add_argument("--level_dim", type=int, default=4)
+parser.add_argument("--lg", type=int, default=19)
+parser.add_argument("--max_steps", type=int, default=512)
 args = parser.parse_args()
 
 import jax
@@ -58,10 +64,12 @@ ws = args.workspace
 scene_dir = os.path.join(ws, "scene")
 edit_ws = os.path.join(ws, f"{args.mode}_ws")
 
-model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
-                       log2_hashmap_size=19, paired_gather=True)
+model_cfg = NeRFConfig(bound=1.0, num_levels=args.num_levels,
+                       level_dim=args.level_dim,
+                       log2_hashmap_size=args.lg, paired_gather=True)
 render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
-                          max_steps=512, march_iters=384,
+                          max_steps=args.max_steps,
+                          march_iters=384 if args.max_steps <= 512 else 512,
                           m_cap_per_ray=32, density_thresh=10.0,
                           infer_chunk_events=16, infer_compact_factor=4)
 tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,

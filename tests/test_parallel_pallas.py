@@ -77,7 +77,9 @@ def test_train_step_mesh_forces_pallas_path(monkeypatch):
     params = nerf_init(key, model_cfg)
     optimizer = make_optimizer(1e-2, 100)
     state = TrainState(params=params, opt_state=optimizer.init(params),
-                       ema_params=params, step=jnp.zeros((), jnp.int32))
+                       # fresh copy: train_step donates state buffers
+                       ema_params=jax.tree.map(jnp.array, params),
+                       step=jnp.zeros((), jnp.int32))
     occ = occupancy_init(render_cfg.cascades, render_cfg.grid_size).occupancy
 
     n_rays = 32 * 8
@@ -87,8 +89,11 @@ def test_train_step_mesh_forces_pallas_path(monkeypatch):
     pixels = jnp.ones((n_rays, 4), jnp.float32) * 0.5
 
     def run():
+        # train_step donates its state buffers (and device_put inside
+        # dp_train_step can be a no-op view on CPU): each run gets a copy
+        state_c = jax.tree.map(jnp.array, state)
         new_state, aux = dp_train_step(
-            mesh, train_step, state, occ, pose, intrinsics, inds, pixels,
+            mesh, train_step, state_c, occ, pose, intrinsics, inds, pixels,
             jax.random.PRNGKey(1), model_cfg=model_cfg,
             render_cfg=render_cfg, optimizer=optimizer, ema_decay=0.95,
             has_alpha=True, bg_white=False, H=32, W=32,

@@ -94,7 +94,9 @@ def test_dp_train_step_8devices(scene_dir):
         kw = dict(model_cfg=MODEL_CFG, render_cfg=RENDER_CFG,
                   optimizer=tr.optimizer, ema_decay=0.95, has_alpha=True,
                   bg_white=True, H=64, W=64)
-        state_1d, aux_1d = train_step(*args, **kw)
+        # train_step donates its state buffers; give each call its own copy
+        state_copy = jax.tree.map(jnp.array, args[0])
+        state_1d, aux_1d = train_step(state_copy, *args[1:], **kw)
 
         mesh = make_mesh(8)
         state_dp, aux_dp = dp_train_step(mesh, train_step, *args, **kw)
