@@ -44,6 +44,10 @@ for Q, T in [(1 << 17, 1 << 20), (300000, 2900000)]:
     assert err < 2e-2
 "
 
+# 1b. bench train/test-gap experiment (VERDICT r3 item 2 diagnosis):
+#     16 vs 64 train views at the bench config -> overfit or eval bug
+run 2400 python -u perf/gap_probe.py --steps 1024
+
 # 2. train-step decomposition with the donated state (baseline)
 run 1800 python -u perf/profile_step2.py
 # 3. same with the v2 scatter kernel -> promotion decision
