@@ -136,6 +136,7 @@ def _prim_arrays(spheres):
 
     Returns a dict of numpy arrays; ordering preserves the first-hit color
     rule of scene_density_color (primitive list order)."""
+    spheres = spheres or DEFAULT_SPHERES
     rows = []
     for order, prim in enumerate(spheres):
         if isinstance(prim[0], str):
