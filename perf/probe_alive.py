@@ -52,7 +52,8 @@ order, _ = tile_raster_order(H, W)
 rays_o_all = jnp.take(rays_o_all, jnp.asarray(order), axis=0)
 rays_d_all = jnp.take(rays_d_all, jnp.asarray(order), axis=0)
 
-skip_flat = build_skip_field(tr.occ_state.occupancy).reshape(-1)
+skip_flat = build_skip_field(tr.occ_state.occupancy,
+                             bound=mcfg.bound).reshape(-1)
 aabb = jnp.array([-mcfg.bound] * 3 + [mcfg.bound] * 3, jnp.float32)
 
 

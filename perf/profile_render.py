@@ -206,7 +206,7 @@ if os.environ.get("LAENERF_STUB_EVAL"):
         aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
         nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
                                          render_cfg.min_near)
-        skip_flat = build_skip_field(occupancy).reshape(-1)
+        skip_flat = build_skip_field(occupancy, bound=cfg.bound).reshape(-1)
         event = make_march_event(rays_o, rays_d, skip_flat, None, cfg)
 
         def march_round(t):

@@ -92,10 +92,14 @@ test_ds = NeRFDataset(scene_dir, "test")
 model_cfg = NeRFConfig(bound=1.0, num_levels=args.num_levels,
                        level_dim=args.level_dim,
                        log2_hashmap_size=args.lg)
+# march budget scales with dt resolution (ADVICE r4): at max_steps=1024 the
+# dt lattice halves vs 512, so both the event budget and the per-ray sample
+# cap must double or deeper configs silently truncate samples.
 render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                           max_steps=args.max_steps,
-                          march_iters=384 if args.max_steps <= 512 else 512,
-                          m_cap_per_ray=32, density_thresh=10.0,
+                          march_iters=max(256, 384 * args.max_steps // 512),
+                          m_cap_per_ray=max(32, 32 * args.max_steps // 512),
+                          density_thresh=10.0,
                           infer_chunk_events=16, infer_compact_factor=4)
 tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,
              iters=args.iters, eval_chunk=32768)
