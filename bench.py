@@ -39,7 +39,9 @@ def main():
 
     t_setup = time.time()
     tmp = tempfile.mkdtemp(prefix="laenerf_bench_")
-    generate_synthetic_scene(tmp, n_train=16, n_val=1, n_test=1, H=100, W=100)
+    # 4 test views: the quality floor averages them (VERDICT r4 #8 — a
+    # single extrapolated view has ±8.7 dB seed spread, perf/gap_probe.py)
+    generate_synthetic_scene(tmp, n_train=16, n_val=1, n_test=4, H=100, W=100)
     ds = NeRFDataset(tmp, "train", num_rays=4096)
 
     # max_steps=256 keeps dt coarse enough that the march budget covers the
@@ -48,13 +50,17 @@ def main():
     # corners as one bf16 row (ops/hashgrid).
     model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
                            log2_hashmap_size=19)
-    # LAENERF_BENCH_RENDER: comma list of {raster,repack,window,f8,warmup}
-    # for render-mode A/Bs without editing the file (perf/r3_runbook.sh).
-    # "auto" (the default) tries raster+warmup and self-validates against a
-    # march render before trusting it (see below).
-    mode_env = os.environ.get("LAENERF_BENCH_RENDER", "auto")
-    auto = mode_env == "auto"
-    modes = (set() if auto
+    # LAENERF_BENCH_RENDER: "march" (default) times the plain march path
+    # only — ONE render compile, which is what keeps setup_s and cache
+    # misses down (VERDICT r4 #6: the 3-candidate A/B matrix self-inflicted
+    # 5 cache misses and 465 s setup while rejecting every candidate).
+    # "ab" additionally times each fast candidate and adopts one only when
+    # it is BOTH image-parity and faster (the r4 protocol). A comma list of
+    # {raster,repack,window,f8,warmup} pins an explicit mode for manual
+    # A/Bs (perf/r3_runbook.sh).
+    mode_env = os.environ.get("LAENERF_BENCH_RENDER", "march")
+    auto = mode_env == "ab"
+    modes = (set() if auto or mode_env == "march"
              else set(filter(None, mode_env.split(","))))
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
@@ -170,7 +176,11 @@ def main():
     dt = sec_best
     rays_per_sec = H * W / dt
 
-    # quality sanity: dataset-resolution renders vs GT (train + held-out)
+    # quality sanity: dataset-resolution renders vs GT (train + held-out),
+    # always measured under the MARCH config so the floor is insensitive to
+    # which fast mode (if any) was adopted (advisor r4)
+    tr.render_cfg = march_cfg
+
     def view_psnr(split_ds, i):
         img, _ = tr.render_image(split_ds.poses[i], split_ds.intrinsics,
                                  split_ds.H, split_ds.W)
@@ -180,18 +190,21 @@ def main():
 
     psnr = view_psnr(ds, 0)
     test_ds = NeRFDataset(tmp, "test")
-    test_psnr = view_psnr(test_ds, 0)
+    test_psnr = float(np.mean([view_psnr(test_ds, i)
+                               for i in range(len(test_ds.poses))]))
     val_ds = NeRFDataset(tmp, "val")
     val_psnr = view_psnr(val_ds, 0)
 
-    # quality regression floor (VERDICT r3 #2): healthy steady-state values
-    # from BENCH_r03 (train 35.9 / val 30.6 / test 21.2 at the fixed
-    # 1024-step warm-up) minus ~1.5 dB, so a 2 dB quality drop FAILS the
-    # bench. The train/test gap itself is few-view overfit, not an
-    # eval-path bug (perf/gap_probe.py; docs/PERF.md "bench train/test
-    # gap").
-    quality_ok = bool(psnr >= 34.0 and val_psnr >= 28.5
-                      and test_psnr >= 19.5)
+    # quality regression floor: healthy steady-state values measured at the
+    # fixed 1024-step warm-up (BENCH_r04: train 35.9 / val 30.6) minus
+    # 1.5 dB each, so a 2 dB quality drop FAILS the bench. test_psnr now
+    # averages 4 held-out views because a single extrapolated view has
+    # ±8.7 dB seed spread (perf/gap_probe.py); its floor starts at the r4
+    # single-view healthy value (21.2) minus 1.5 dB and is re-calibrated to
+    # 4-view-mean-healthy − 1.5 once measured. The train/test gap itself is
+    # few-view overfit, not an eval-path bug (docs/PERF.md).
+    quality_ok = bool(psnr >= 34.4 and val_psnr >= 29.1
+                      and test_psnr >= 19.7)
 
     result = {
         "metric": "render_rays_per_sec_800x800",

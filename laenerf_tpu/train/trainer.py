@@ -576,9 +576,15 @@ class Trainer:
                 min_near=rcfg.min_near)
             if not bool(stream["ok"]):
                 self.raster_overflows += 1
-                print("[laenerf] raster stream overflow (frame falls back "
-                      f"to march; {self.raster_overflows} so far)",
-                      file=sys.stderr, flush=True)
+                # warn on the 1st/2nd/4th/8th/... occurrence only — a long
+                # video eval that systematically overflows would otherwise
+                # spam stderr (advisor r4); raster_overflows is exported to
+                # timings.json for the rest
+                n = self.raster_overflows
+                if n & (n - 1) == 0:
+                    print("[laenerf] raster stream overflow (frame falls "
+                          f"back to march; {n} so far)",
+                          file=sys.stderr, flush=True)
                 stream = None
             else:
                 stream_k16 = slice_stream_payload(stream)
@@ -713,9 +719,11 @@ class Trainer:
                 H, W, cfg, caps, min_near=rcfg.min_near)
             if not bool(stream["ok"]):
                 self.raster_overflows += 1
-                print("[laenerf] raster stream overflow in distill render "
-                      f"(falls back to march; {self.raster_overflows} so "
-                      "far)", file=sys.stderr, flush=True)
+                n = self.raster_overflows
+                if n & (n - 1) == 0:  # power-of-two throttle (advisor r4)
+                    print("[laenerf] raster stream overflow in distill "
+                          f"render (falls back to march; {n} so far)",
+                          file=sys.stderr, flush=True)
                 stream = None
 
         if stream is None:
