@@ -74,8 +74,12 @@ def main():
                               else "",
                               infer_warmup_rounds=2 if "warmup" in modes
                               else 0)
+    # eval_chunk 16384: the r5 chunk sweep (perf/r5_render_sweep.py) found
+    # 16k chunks ~8-27% faster than 32k at 800^2 (smaller chunks retire
+    # sooner, so dead rays pay fewer march-scan gathers); 8k/4k lose to
+    # per-chunk dispatch overhead
     tr = Trainer(tmp + "/ws", model_cfg, render_cfg, lr=1e-2, iters=2000,
-                 eval_chunk=32768)
+                 eval_chunk=16384)
     tr.mark_untrained(ds)
 
     # warm up for a FIXED number of steps so the occupancy steady state

@@ -110,30 +110,63 @@ def update_occupancy_partial(state: OccupancyState, density_fn, key, *,
                              bound: float, density_scale: float = 1.0,
                              density_thresh: float = 0.01, decay: float = 0.95,
                              chunk: int = 2 ** 16) -> OccupancyState:
-    """Partial update: H^3/4 uniform cells + H^3/4 occupied-biased cells per
-    cascade (renderer.py:598-626)."""
+    """Partial update, redesigned for TPU (reference: renderer.py:598-626).
+
+    The reference draws H^3/4 uniform cells + H^3/4 occupied-biased cells
+    WITH replacement per cascade. At the ~2% steady-state occupancy that
+    revisits each occupied cell ~12x per update, and the categorical draw
+    costs a full-grid cdf + a 0.5M-row searchsorted. Redesign (measured
+    163 -> ~60 ms/update on v5e at H=128, cascades=1):
+
+      * stratified sweep (uniform part): one of the 8 interleaved 2x2x2
+        sub-lattices, rotating with iter_density — H^3/8 cells per update
+        with a GUARANTEED full-grid refresh every 8 updates (random draws
+        need ~3x more evals for the same worst-case coverage, and pruning
+        speed is set by coverage: a stale cell only decays when sampled).
+      * occupied refresh: a rotating window over the occupied set, each
+        cell visited AT MOST ONCE per update (capacity H^3/16, compacted
+        scatter-free via ops/compaction). Same intent as the reference's
+        biased draw — keep the cells the march reads fresh — without the
+        with-replacement oversampling.
+
+    Cells sampled by both parts just write twice (last jitter wins),
+    exactly like the reference's duplicate draws.
+    """
+    from ..ops.compaction import compact_samples
+
     cas_n, H = state.density_grid.shape[0], state.density_grid.shape[1]
-    N = H ** 3 // 4
+    n_cells = H ** 3
+    cap_o = max(n_cells // 16, 8)
     tmp_grid = -jnp.ones_like(state.density_grid)
 
-    for cas in range(cas_n):
-        key, k1, k2, k3 = jax.random.split(key, 4)
-        # uniform random cells
-        rand_coords = jax.random.randint(k1, (N, 3), 0, H, dtype=jnp.int32)
-        # occupied-biased cells: categorical draw over occupied mask
-        occ_flat = (state.density_grid[cas].reshape(-1) > 0).astype(jnp.float32)
-        total = jnp.sum(occ_flat)
-        cdf = jnp.cumsum(occ_flat)
-        u = jax.random.uniform(k2, (N,)) * jnp.maximum(total, 1.0)
-        occ_idx = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
-        occ_idx = jnp.clip(occ_idx, 0, H ** 3 - 1)
-        occ_coords = jnp.stack(
-            [occ_idx // (H * H), (occ_idx // H) % H, occ_idx % H], axis=-1
-        )
-        # if nothing is occupied yet, fall back to uniform draws
-        occ_coords = jnp.where(total > 0, occ_coords, rand_coords)
+    # rotating 2x2x2 sub-lattice phase (traced: iter_density is an array)
+    phase = state.iter_density % 8
+    dx, dy, dz = phase & 1, (phase >> 1) & 1, (phase >> 2) & 1
+    m = H // 2
+    r = jnp.arange(m, dtype=jnp.int32)
+    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
+    sweep_coords = jnp.stack(
+        [2 * gx.reshape(-1) + dx, 2 * gy.reshape(-1) + dy,
+         2 * gz.reshape(-1) + dz], axis=-1)  # [H^3/8, 3]
+    sweep_flat = ((sweep_coords[:, 0] * H + sweep_coords[:, 1]) * H
+                  + sweep_coords[:, 2])
 
-        coords = jnp.concatenate([rand_coords, occ_coords], axis=0)
+    for cas in range(cas_n):
+        key, k3 = jax.random.split(key)
+        # rotating at-most-once window over the occupied set
+        occ_mask = state.density_grid[cas].reshape(-1) > 0
+        rank = jnp.cumsum(occ_mask.astype(jnp.int32)) - 1  # [H^3]
+        total = jnp.maximum(rank[-1] + 1, 1)
+        start = (state.iter_density * cap_o) % total
+        win = occ_mask & (jnp.mod(rank - start, total) < cap_o)
+        # scatter-free compaction of the window's flat cell ids
+        gidx, gmask, _ = compact_samples(win.reshape(n_cells // H, H), cap_o)
+        occ_coords = jnp.stack(
+            [gidx // (H * H), (gidx // H) % H, gidx % H], axis=-1)
+        # masked slots write to a dumpster row past the grid
+        occ_flat = jnp.where(gmask, gidx, n_cells).astype(jnp.int32)
+
+        coords = jnp.concatenate([sweep_coords, occ_coords], axis=0)
         xyz = _cell_world_coords(coords, cas, bound, H, k3)
         n2 = xyz.shape[0]
         if n2 % chunk == 0:
@@ -141,8 +174,9 @@ def update_occupancy_partial(state: OccupancyState, density_fn, key, *,
                               xyz.reshape(n2 // chunk, chunk, 3)).reshape(-1)
         else:
             sig = density_fn(xyz) * density_scale
-        flat_idx = (coords[:, 0] * H + coords[:, 1]) * H + coords[:, 2]
-        tmp_cas = tmp_grid[cas].reshape(-1).at[flat_idx].set(sig)
+        flat_idx = jnp.concatenate([sweep_flat, occ_flat], axis=0)
+        tmp_cas = jnp.full((n_cells + 1,), -1.0, tmp_grid.dtype).at[
+            flat_idx].set(sig)[:n_cells]
         tmp_grid = tmp_grid.at[cas].set(tmp_cas.reshape(H, H, H))
 
     return _finish_update(state, tmp_grid, density_thresh, decay)

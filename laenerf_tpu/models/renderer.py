@@ -352,10 +352,12 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
             sigmas_c, rgbs_c = network(params, xyz_c, dirs_c)
             sigmas_c = sigmas_c * render_cfg.density_scale
             sigmas_c = jnp.where(gather_mask, sigmas_c, 0.0)
-            # one 4-wide row gather instead of separate sig/rgb gathers
+            # one 4-wide row gather instead of separate sig/rgb gathers;
+            # gather_idx/mask route the backward through the injective-dest
+            # custom VJP (one gather, not a 1M-row scatter-add)
             both = scatter_back(
                 jnp.concatenate([sigmas_c[:, None], rgbs_c], axis=1), dest,
-                (N, S))
+                (N, S), gather_idx=gather_idx, gather_mask=gather_mask)
             sig, rgb = both[..., 0], both[..., 1:]
             # truncate capacity-dropped samples: the ray composites only
             # its evaluated prefix (within-ray order is preserved by the

@@ -10,6 +10,8 @@ reference's mean_count-tracked buffer, raymarching/raymarching.py:198-203).
 compact -> evaluate MLP on [M_cap] -> scatter_back to [N, S].
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -72,15 +74,7 @@ def gather_flat(x, gather_idx):
     return jnp.take(x, gather_idx, axis=0)
 
 
-def scatter_back(vals, dest, shape, fill=0.0):
-    """Scatter compacted values [M_cap, ...] back to a padded [N, S, ...] grid.
-
-    Args:
-      vals: [M_cap, ...] compacted values.
-      dest: [N, S] int32 from compact_samples (m_cap = dumpster).
-      shape: (N, S) of the padded grid.
-      fill: value for empty slots.
-    """
+def _scatter_back_impl(vals, dest, shape, fill):
     N, S = shape
     m_cap = vals.shape[0]
     trailing = vals.shape[1:]
@@ -91,3 +85,51 @@ def scatter_back(vals, dest, shape, fill=0.0):
     )
     out = jnp.take(padded, jnp.minimum(dest.reshape(-1), m_cap), axis=0)
     return out.reshape((N, S) + trailing)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _scatter_back_bij(vals, dest, gather_idx, gather_mask, shape, fill):
+    return _scatter_back_impl(vals, dest, shape, fill)
+
+
+def _scatter_back_bij_fwd(vals, dest, gather_idx, gather_mask, shape, fill):
+    return (_scatter_back_impl(vals, dest, shape, fill),
+            (gather_idx, gather_mask))
+
+
+def _scatter_back_bij_bwd(shape, fill, res, g):
+    # dest is INJECTIVE on real samples (compact_samples assigns unique
+    # prefix positions), so the vals-cotangent is a single [M_cap]-row
+    # gather at gather_idx — XLA's autodiff of the forward take would
+    # instead emit a [N*S]-row scatter-add (~14.5 ms/step at the training
+    # shape, measured r5 xplane trace; this gather is ~0.5 ms)
+    trailing = g.shape[2:]
+    gather_idx, gather_mask = res
+    gflat = g.reshape((-1,) + trailing)
+    gv = jnp.take(gflat, gather_idx, axis=0)
+    # g's dtype equals the forward output's, which equals vals' dtype
+    gv = jnp.where(gather_mask.reshape((-1,) + (1,) * len(trailing)), gv, 0)
+    return gv, None, None, None
+
+
+_scatter_back_bij.defvjp(_scatter_back_bij_fwd, _scatter_back_bij_bwd)
+
+
+def scatter_back(vals, dest, shape, fill=0.0, gather_idx=None,
+                 gather_mask=None):
+    """Scatter compacted values [M_cap, ...] back to a padded [N, S, ...] grid.
+
+    Args:
+      vals: [M_cap, ...] compacted values.
+      dest: [N, S] int32 from compact_samples (m_cap = dumpster).
+      shape: (N, S) of the padded grid.
+      fill: value for empty slots.
+      gather_idx, gather_mask: the matching compact_samples outputs. When
+        given, a custom VJP computes the vals-cotangent as one gather at
+        gather_idx instead of autodiff's [N*S]-row scatter-add (dest is
+        injective on real samples). Pass them on differentiated paths.
+    """
+    if gather_idx is not None and gather_mask is not None:
+        return _scatter_back_bij(vals, dest, gather_idx, gather_mask,
+                                 tuple(shape), fill)
+    return _scatter_back_impl(vals, dest, tuple(shape), fill)

@@ -149,7 +149,7 @@ def _gather_rows_fwd(table, idx):
     return jnp.take(table, idx, axis=0), (idx, table.shape)
 
 
-def _scatter_rows_dispatch(q, g2, T):
+def _scatter_rows_dispatch(q, g2, T, out_dtype=None):
     """Route a row scatter-add to the Pallas work-list kernel (TPU, big
     batches) or the XLA flat scatter (CPU / small batches).
 
@@ -160,26 +160,26 @@ def _scatter_rows_dispatch(q, g2, T):
     """
     import os
 
-    from .scatter_add import (scatter_add_rows, scatter_add_rows_v2,
-                              scatter_add_rows_xla)
+    from .scatter_add import scatter_add_rows, scatter_add_rows_xla
 
     force = os.environ.get("LAENERF_FORCE_PALLAS_SCATTER") == "1"
     if force or (jax.default_backend() == "tpu"
                  and q.shape[0] >= _PALLAS_SCATTER_MIN_ROWS):
-        # v2 (narrow monotone windows, ~8x less one-hot VPU work) is the
-        # experimental default-off path until its TPU timing is recorded
-        if os.environ.get("LAENERF_SCATTER_V2") == "1":
-            return scatter_add_rows_v2(q, g2, T)
-        return scatter_add_rows(q, g2, T)
-    return scatter_add_rows_xla(q, g2, T)
+        # the r4 "v2" narrow-window variant measured 2.6x SLOWER end-to-end
+        # on v5e (248 vs 95 ms/train-step, perf/profile_step2.py r5 A/B):
+        # its per-128-update grid steps serialize window flushes that the
+        # work-list kernel amortizes over 2048-update blocks. Deleted.
+        return scatter_add_rows(q, g2, T, out_dtype=out_dtype)
+    out = scatter_add_rows_xla(q, g2, T)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def _gather_rows_bwd(res, g):
     idx, (T, C) = res
     q = idx.reshape(-1).astype(jnp.int32)
     g2 = g.reshape(-1, C)
-    grad = _scatter_rows_dispatch(q, g2, T)
-    return grad.astype(g.dtype), None
+    grad = _scatter_rows_dispatch(q, g2, T, out_dtype=g.dtype)
+    return grad, None
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -215,7 +215,7 @@ def _gather_rows_multi_bwd(sizes, idx, g):
     W = g.shape[-1]
     q = (idx + jnp.asarray(offs)[None, :]).reshape(-1).astype(jnp.int32)
     g2 = g.reshape(-1, W)
-    grad = _scatter_rows_dispatch(q, g2, int(sum(sizes))).astype(g.dtype)
+    grad = _scatter_rows_dispatch(q, g2, int(sum(sizes)), out_dtype=g.dtype)
     out = tuple(
         jax.lax.dynamic_slice_in_dim(grad, int(o), int(s), axis=0)
         for o, s in zip(offs, sizes))

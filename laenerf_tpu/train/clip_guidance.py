@@ -5,15 +5,28 @@ similarity loss, hooked into training via --rand_pose/--clip_text,
 nerf/utils.py:464-468,543-557). The reference's flow renders a random-pose
 low-res image and maximizes CLIP similarity with the text prompt.
 
-CLIP weights cannot be downloaded here (zero egress); the loss is gated on
-a locally cached HuggingFace CLIP model (set LAENERF_CLIP_PATH or have
-openai/clip-vit-base-patch16 in the HF cache). The orbit-pose sampler that
-feeds it is in data/provider.py (rand_poses).
+The BACKPROP path is native: models/clip_vit.py is a JAX ViT-B/16 vision
+tower, and Trainer.train_one_batch_clip / train_step_clip backprop
+-(image_z . text_z) into NeRF params exactly like utils.py:543-557 —
+vision weights load from a local npz (LAENERF_CLIP_NPZ). The TEXT
+embedding is computed once per prompt; text_embedding() below uses a
+locally cached HuggingFace CLIP (set LAENERF_CLIP_PATH) since prompts are
+encoded host-side a single time. This module's CLIPLoss remains the
+host-side torch scorer for monitoring/selection. The orbit-pose sampler
+that feeds rand-pose training is data/provider.py (rand_poses).
 """
 
 import os
 
 import numpy as np
+
+
+def text_embedding(text: str, model_path: str = None) -> np.ndarray:
+    """Normalized [512] CLIP text embedding for a prompt, via the locally
+    cached HF model (one-time, host-side; gated like CLIPLoss). Feed the
+    result to Trainer.train_one_batch_clip for on-TPU backprop guidance."""
+    scorer = CLIPLoss(text, model_path=model_path)
+    return scorer.text_z.detach().numpy().reshape(-1)
 
 
 class CLIPLoss:
@@ -52,9 +65,9 @@ class CLIPLoss:
 
     def __call__(self, image_hw3: np.ndarray) -> float:
         """Negative cosine similarity for a rendered [H, W, 3] image in
-        [0, 1]. Host-side scoring (CLIP runs on CPU torch); the gradient-free
-        score is used for monitoring/selection rather than backprop — full
-        backprop guidance would need a JAX CLIP port (future work)."""
+        [0, 1]. Host-side scoring (CLIP runs on CPU torch) for
+        monitoring/selection; the BACKPROP path is the JAX tower in
+        models/clip_vit.py via Trainer.train_one_batch_clip."""
         torch = self._torch
         with torch.no_grad():
             inp = self.processor(

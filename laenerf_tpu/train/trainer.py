@@ -233,6 +233,45 @@ def train_step_npr(state: TrainState, occupancy, pose, intrinsics, inds,
                       ema_params=new_ema, step=state.step + 1), {"loss": loss}
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "optimizer",
+                                   "ema_decay", "H", "W"),
+         donate_argnames=("state",))
+def train_step_clip(state: TrainState, occupancy, clip_params, text_z,
+                    pose, intrinsics, key, *, model_cfg: NeRFConfig,
+                    render_cfg: RenderConfig, optimizer, ema_decay: float,
+                    H: int, W: int):
+    """CLIP-guided step (utils.py:543-557): render ALL rays of a low-res
+    random-pose frame through the differentiable training path (white bg,
+    like the reference's force_all_rays render) and minimize
+    -(CLIP image embedding . text embedding). The CLIP vision tower
+    (models/clip_vit.py) is frozen — gradients flow only into NeRF params,
+    matching clip_utils.py:18-20's requires_grad=False."""
+    from ..models.clip_vit import clip_similarity_loss
+
+    k_render, _ = jax.random.split(key)
+    inds = jnp.arange(H * W, dtype=jnp.int32)
+    rays_o, rays_d = get_rays(pose, intrinsics, inds, H, W)
+
+    def loss_fn(params):
+        out = render_rays_train(params, occupancy, rays_o, rays_d,
+                                k_render, model_cfg=model_cfg,
+                                render_cfg=render_cfg, bg_color=None,
+                                perturb=True)
+        img = out["image"].reshape(1, H, W, 3)
+        return clip_similarity_loss(clip_params, img, text_z)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = jax.tree.map(
+        lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+        state.ema_params, new_params,
+    )
+    return TrainState(params=new_params, opt_state=new_opt_state,
+                      ema_params=new_ema, step=state.step + 1), {"loss": loss}
+
+
 @partial(jax.jit, static_argnames=("model_cfg", "bound", "full",
                                    "density_scale", "density_thresh"))
 def occ_update(params, occ_state: OccupancyState, key, *,
@@ -396,6 +435,23 @@ class Trainer:
             bg_white=self.bg_white, H=batch["H"], W=batch["W"],
             distill=True, depth_target=depth_target,
             patch_lpips_fn=self.patch_lpips_fn, patch_size=self.patch_size,
+        )
+        self.global_step += 1
+        return aux
+
+    def train_one_batch_clip(self, clip_params, text_z, pose, intrinsics,
+                             H: int, W: int):
+        """One CLIP-guided step on a (typically rand_poses-sampled) camera
+        with no GT image (utils.py:543-557). clip_params comes from
+        models/clip_vit.load_clip_vision(); text_z is the fixed text
+        embedding (train/clip_guidance.py text_embedding, or any [512])."""
+        self.maybe_update_occupancy()
+        self.state, aux = train_step_clip(
+            self.state, self.occ_state.occupancy, clip_params,
+            jnp.asarray(text_z), jnp.asarray(pose), jnp.asarray(intrinsics),
+            self._next_key(), model_cfg=self.model_cfg,
+            render_cfg=self.render_cfg, optimizer=self.optimizer,
+            ema_decay=self.ema_decay, H=H, W=W,
         )
         self.global_step += 1
         return aux

@@ -57,7 +57,7 @@ render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                           m_cap_per_ray=32, density_thresh=10.0,
                           infer_chunk_events=16, infer_compact_factor=4)
 tr = Trainer(os.path.join(args.workspace, "ws"), model_cfg, render_cfg,
-             lr=1e-2, iters=30000, eval_chunk=32768)
+             lr=1e-2, iters=30000, eval_chunk=16384)
 assert tr.load_checkpoint("latest"), "no checkpoint in workspace"
 
 H = W = args.H

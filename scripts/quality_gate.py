@@ -102,7 +102,7 @@ render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                           density_thresh=10.0,
                           infer_chunk_events=16, infer_compact_factor=4)
 tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,
-             iters=args.iters, eval_chunk=32768)
+             iters=args.iters, eval_chunk=16384)
 if args.fast_render:
     import dataclasses
     tr.render_cfg = dataclasses.replace(tr.render_cfg, infer_raster=True,

@@ -217,6 +217,39 @@ def test_compaction_roundtrip():
     assert int(gather_mask.sum()) == int(valid.sum())
 
 
+def test_scatter_back_custom_vjp_matches_autodiff():
+    """The injective-dest custom VJP (gather at gather_idx) must produce
+    the same vals-cotangent as autodiff of the plain gather forward,
+    including overflow (dumpster) and padding slots."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    N, S, M = 6, 8, 12  # M < n_valid possible -> exercises overflow
+    valid = jnp.array(rng.rand(N, S) > 0.4)
+    vals = jnp.array(rng.randn(N, S, 3).astype(np.float32))
+    gather_idx, gather_mask, dest = compact_samples(valid, M)
+    compacted = gather_flat(vals.reshape(N * S, 3), gather_idx)
+    cot = jnp.array(rng.randn(N, S, 3).astype(np.float32))
+
+    def loss_plain(v):
+        return jnp.sum(scatter_back(v, dest, (N, S)) * cot)
+
+    def loss_custom(v):
+        return jnp.sum(scatter_back(v, dest, (N, S), gather_idx=gather_idx,
+                                    gather_mask=gather_mask) * cot)
+
+    g_plain = jax.grad(loss_plain)(compacted)
+    g_custom = jax.grad(loss_custom)(compacted)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-6, atol=1e-6)
+    # forwards agree too
+    np.testing.assert_allclose(
+        np.asarray(scatter_back(compacted, dest, (N, S))),
+        np.asarray(scatter_back(compacted, dest, (N, S),
+                                gather_idx=gather_idx,
+                                gather_mask=gather_mask)), rtol=1e-6)
+
+
 def test_compaction_overflow_drops():
     valid = jnp.ones((2, 8), dtype=bool)
     gather_idx, gather_mask, dest = compact_samples(valid, 10)

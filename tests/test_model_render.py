@@ -117,6 +117,32 @@ def test_update_occupancy_full_and_partial():
     assert occ2[16, 16, 16] == 1
 
 
+def test_partial_update_sweep_covers_grid_in_8_updates():
+    """The stratified 2x2x2 sub-lattice sweep guarantees every cell is
+    re-evaluated within 8 partial updates — the coverage property the
+    redesign trades the reference's random draws for (renderer.py:598-609
+    samples with replacement and has no such bound)."""
+    from laenerf_tpu.models.occupancy import update_occupancy_partial
+
+    state = occupancy_init(1, 16)
+    # seed a full update so density_grid is trained everywhere
+    state = update_occupancy(state, lambda x: jnp.full(x.shape[:-1], 5.0),
+                             jax.random.PRNGKey(0), bound=1.0, full=True,
+                             density_thresh=0.01)
+    # switch density to zero: a cell reads 0 only when re-sampled, so after
+    # 8 partial updates the max EMA'd density proves total coverage
+    key = jax.random.PRNGKey(1)
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        state = update_occupancy_partial(
+            state, lambda x: jnp.zeros(x.shape[:-1]), k, bound=1.0,
+            density_thresh=0.01, decay=0.95)
+    grid = np.asarray(state.density_grid[0])
+    # a sampled cell becomes max(old * 0.95, 0) <= 4.75; an unsampled cell
+    # keeps 5.0 exactly — so full coverage means nothing is left at 5.0
+    assert grid.max() < 5.0, "some cell was never re-sampled in 8 updates"
+
+
 def test_mark_untrained_grid():
     grid = jnp.zeros((1, 32, 32, 32), jnp.float32)
     # one camera at z=-2 looking at +z with a narrow fov

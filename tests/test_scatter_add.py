@@ -33,6 +33,29 @@ def test_uniform_random(precision, tol):
     _check(idx, g, T, precision, tol)
 
 
+def test_bf16_out_matches_f32_out_converted():
+    """out_dtype=bf16 (f32 VMEM scratch, one convert per tile) must equal
+    the f32 output converted afterwards — same accumulation, fewer passes.
+    Covers multi-block tiles and empty tiles (the wlast-flag plumbing)."""
+    rng = np.random.RandomState(4)
+    Q, T, C = 30000, 16384, 8
+    # skew: half the stream in one tile (multiple blocks -> wlast matters)
+    idx = np.concatenate([
+        rng.randint(0, 2048, Q // 2),
+        rng.randint(8192, T, Q - Q // 2),
+    ]).astype(np.int32)
+    g = rng.randn(Q, C).astype(np.float32)
+    f32 = scatter_add_rows(jnp.asarray(idx), jnp.asarray(g), T,
+                           precision="bf16", interpret=True)
+    bf16 = scatter_add_rows(jnp.asarray(idx), jnp.asarray(g), T,
+                            precision="bf16", interpret=True,
+                            out_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(f32.astype(jnp.bfloat16), dtype=np.float32),
+        np.asarray(bf16, dtype=np.float32))
+
+
 def test_all_one_row():
     # extreme duplication: every update hits row 17
     Q, T, C = 8192, 4096, 4
@@ -101,46 +124,3 @@ def test_grad_parity_through_encoder():
         num = (loss(t2) - loss(t3)) / (2 * eps)
         assert abs(float(num) - float(grad[t, 0])) < 1e-2 * max(
             1.0, abs(float(num)))
-
-
-def test_scatter_add_rows_v2_matches_xla():
-    """Narrow-window v2 kernel vs the XLA reference, including skewed and
-    sparse destination distributions (exercises window spill + overflow)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from laenerf_tpu.ops.scatter_add import (scatter_add_rows_v2,
-                                             scatter_add_rows_xla)
-
-    rng = np.random.RandomState(0)
-    for Q, T, dist in [(4096, 8192, "uniform"),
-                       (4096, 8192, "skew"),
-                       (1000, 100000, "sparse"),
-                       (300, 700, "dense")]:
-        if dist == "uniform":
-            idx = rng.randint(0, T, Q)
-        elif dist == "skew":
-            idx = (rng.zipf(1.5, Q) % T)
-        elif dist == "sparse":
-            idx = rng.randint(0, T, Q)
-        else:
-            idx = rng.randint(0, T, Q)
-        g = rng.randn(Q, 8).astype(np.float32)
-        ref = scatter_add_rows_xla(jnp.asarray(idx, jnp.int32),
-                                   jnp.asarray(g), T)
-        out = scatter_add_rows_v2(jnp.asarray(idx, jnp.int32),
-                                  jnp.asarray(g), T, precision="f32",
-                                  interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-3)
-        out_bf = scatter_add_rows_v2(jnp.asarray(idx, jnp.int32),
-                                     jnp.asarray(g), T, precision="bf16",
-                                     interpret=True)
-        # bf16 mode rounds each UPDATE row to bf16 (f32 accumulation), so
-        # compare against the XLA scatter of identically rounded updates
-        ref_bf = scatter_add_rows_xla(
-            jnp.asarray(idx, jnp.int32),
-            jnp.asarray(g).astype(jnp.bfloat16).astype(jnp.float32), T)
-        np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref_bf),
-                                   rtol=1e-4, atol=1e-3)
