@@ -50,30 +50,15 @@ def main():
     # corners as one bf16 row (ops/hashgrid).
     model_cfg = NeRFConfig(bound=1.0, num_levels=8, level_dim=4,
                            log2_hashmap_size=19)
-    # LAENERF_BENCH_RENDER: "march" (default) times the plain march path
-    # only — ONE render compile, which is what keeps setup_s and cache
-    # misses down (VERDICT r4 #6: the 3-candidate A/B matrix self-inflicted
-    # 5 cache misses and 465 s setup while rejecting every candidate).
-    # "ab" additionally times each fast candidate and adopts one only when
-    # it is BOTH image-parity and faster (the r4 protocol). A comma list of
-    # {raster,repack,window,f8,warmup} pins an explicit mode for manual
-    # A/Bs (perf/r3_runbook.sh).
-    mode_env = os.environ.get("LAENERF_BENCH_RENDER", "march")
-    auto = mode_env == "ab"
-    modes = (set() if auto or mode_env == "march"
-             else set(filter(None, mode_env.split(","))))
+    # ONE render path: the r5 sweep (perf/r5_render_sweep.py) measured the
+    # whole r2-r4 fast-path portfolio slower than the plain event-scan
+    # march at 800^2, so those configs were deleted — the bench compiles a
+    # single render graph, which also keeps setup_s and cache misses down
+    # (VERDICT r4 #6).
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
                               m_cap_per_ray=16, density_thresh=10.0,
-                              infer_chunk_events=16, infer_compact_factor=4,
-                              infer_raster="raster" in modes,
-                              infer_repack_rounds=4 if "repack" in modes
-                              else 0,
-                              infer_window_march="window" in modes,
-                              infer_view_dtype="f8" if "f8" in modes
-                              else "",
-                              infer_warmup_rounds=2 if "warmup" in modes
-                              else 0)
+                              infer_chunk_events=16, infer_compact_factor=4)
     # eval_chunk 16384: the r5 chunk sweep (perf/r5_render_sweep.py) found
     # 16k chunks ~8-27% faster than 32k at 800^2 (smaller chunks retire
     # sooner, so dead rays pay fewer march-scan gathers); 8k/4k lose to
@@ -111,80 +96,25 @@ def main():
     train_iters_per_sec = n_train_iters / (time.time() - t0)
 
     # --- render rays/sec at 800x800 ---
-    import dataclasses
-
     H = W = 800
     # scale intrinsics from the dataset's 100x100
     intr = ds.intrinsics * (H / ds.H)
     intr[2], intr[3] = W / 2, H / 2
     n_renders = 4
 
-    def time_mode(label):
-        """Compile-warm then time n_renders frames under tr.render_cfg."""
-        img, _ = tr.render_image(ds.poses[0], intr, H, W)
-        t0 = time.time()
-        for i in range(n_renders):
-            tr.render_image(ds.poses[i % len(ds)], intr, H, W)
-        sec = (time.time() - t0) / n_renders
-        print(f"# render[{label}]: {1000 * sec:.1f} ms/frame",
-              file=sys.stderr, flush=True)
-        return img, sec
-
-    march_cfg = tr.render_cfg
-    base_label = "march" if auto else (",".join(sorted(modes)) or "march")
-    img_march, sec_march = time_mode(base_label)
-    sec_best, ms_modes = sec_march, {base_label: round(1000 * sec_march, 1)}
-    if auto:
-        # Auto mode times the march path AND each fast candidate, keeping
-        # the fastest that passes image parity vs the march render
-        # (VERDICT r3: the old mode adopted a candidate on parity alone
-        # and recorded a 2.2x regression). Candidates are the round-3
-        # render levers; a failing/slower candidate just falls away.
-        candidates = [
-            ("repack+f8+warmup",
-             dict(infer_repack_rounds=4, infer_view_dtype="f8",
-                  infer_warmup_rounds=2), {"repack", "f8", "warmup"}),
-            ("repack+warmup",
-             dict(infer_repack_rounds=4, infer_warmup_rounds=2),
-             {"repack", "warmup"}),
-            ("raster+warmup",
-             dict(infer_raster=True, infer_warmup_rounds=2),
-             {"raster", "warmup"}),
-        ]
-        best_modes = set()
-        for label, overrides, mode_set in candidates:
-            try:
-                tr.render_cfg = dataclasses.replace(march_cfg, **overrides)
-                img_fast, sec_fast = time_mode(label)
-                ms_modes[label] = round(1000 * sec_fast, 1)
-                mse = float(np.mean((img_fast - img_march) ** 2))
-                ok = mse < 1e-4 and sec_fast < sec_best
-                print(f"# auto candidate {label}: mse {mse:.2e}, "
-                      f"{1000 * sec_fast:.0f} ms vs best "
-                      f"{1000 * sec_best:.0f} ms -> "
-                      f"{'adopt' if ok else 'reject'}",
-                      file=sys.stderr, flush=True)
-                if ok:
-                    sec_best, best_modes = sec_fast, mode_set
-            except Exception as e:  # noqa: BLE001
-                print(f"# auto candidate {label} failed: {e}",
-                      file=sys.stderr, flush=True)
-        modes = best_modes
-        tr.render_cfg = (dataclasses.replace(
-            march_cfg,
-            infer_raster="raster" in modes,
-            infer_repack_rounds=4 if "repack" in modes else 0,
-            infer_view_dtype="f8" if "f8" in modes else "",
-            infer_warmup_rounds=2 if "warmup" in modes else 0)
-            if modes else march_cfg)
-    dt = sec_best
+    # compile-warm then time n_renders frames
+    tr.render_image(ds.poses[0], intr, H, W)
+    t0 = time.time()
+    for i in range(n_renders):
+        tr.render_image(ds.poses[i % len(ds)], intr, H, W)
+    sec_march = (time.time() - t0) / n_renders
+    print(f"# render[march]: {1000 * sec_march:.1f} ms/frame",
+          file=sys.stderr, flush=True)
+    ms_modes = {"march": round(1000 * sec_march, 1)}
+    dt = sec_march
     rays_per_sec = H * W / dt
 
-    # quality sanity: dataset-resolution renders vs GT (train + held-out),
-    # always measured under the MARCH config so the floor is insensitive to
-    # which fast mode (if any) was adopted (advisor r4)
-    tr.render_cfg = march_cfg
-
+    # quality sanity: dataset-resolution renders vs GT (train + held-out)
     def view_psnr(split_ds, i):
         img, _ = tr.render_image(split_ds.poses[i], split_ds.intrinsics,
                                  split_ds.H, split_ds.W)
@@ -227,7 +157,7 @@ def main():
         "warm_steps": warm_steps,
         "setup_s": round(time.time() - t_setup, 1),
         "xla_cache_misses": compile_cache_stats()[0] - cache0[0],
-        "render_modes": sorted(modes) or ["march"],
+        "render_modes": ["march"],
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

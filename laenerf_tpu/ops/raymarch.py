@@ -365,268 +365,6 @@ def _march_event(t, rays_o, rays_d, skip_flat, edit_flat, cfg: MarchConfig):
     return make_march_event(rays_o, rays_d, skip_flat, edit_flat, cfg)(t)
 
 
-def lattice_march_supported(cfg: MarchConfig) -> bool:
-    """The lattice round requires every jump target to stay on the t0 + k*dt
-    lattice (dt_gamma == 0) and single-level cell math (cascades == 1)."""
-    return cfg.dt_gamma == 0.0 and cfg.cascades == 1
-
-
-WINDOW_PACK = 4  # cells per packed int32 word
-
-# ray-component permutations that move each dominant axis into the packed
-# (last) position; the same tuples transpose the skip field's spatial dims
-WINDOW_PERMS = ((1, 2, 0), (2, 0, 1), (0, 1, 2))
-
-
-def pack_skip_fields(field):
-    """Pack the skip field into per-dominant-axis int32 4-cell words.
-
-    Returns [3, H*H*(H//4)] int32: variant a holds the field transposed so
-    axis a is innermost, then 4 consecutive cells along that axis packed
-    into one little-endian int32. One word gather then covers a 4-cell run
-    in the ray's dominant direction (make_window_round). 2 MB per variant
-    at H=128 — built once per skip-field rebuild, pure transposes + shifts.
-    """
-    f = field[0].astype(jnp.int32)  # [H, H, H]; single cascade
-    H = f.shape[0]
-    out = []
-    for perm in WINDOW_PERMS:
-        fp = jnp.transpose(f, perm).reshape(H, H, H // WINDOW_PACK,
-                                            WINDOW_PACK)
-        word = (fp[..., 0] | (fp[..., 1] << 8) | (fp[..., 2] << 16)
-                | (fp[..., 3] << 24))
-        out.append(word.reshape(-1))
-    return jnp.stack(out)
-
-
-def make_window_round(rays_o_p, rays_d_p, packed_flat, cfg: MarchConfig):
-    """Packed-window march round: ONE int32 gather per scan iteration
-    retires up to 4 serialized march events.
-
-    The event scan's cost is one dependent skip-field gather per event
-    (~8 ns/ray on v5e regardless of batching, perf/microbench_lattice.py).
-    Inside objects, consecutive events step single cells — so 4 consecutive
-    cells along the ray's dominant axis, packed into one int32 word
-    (pack_skip_fields), let one gather answer several events: each scan
-    iteration extracts the occupancy/jump levels of the next lattice
-    positions that stay inside the gathered word's cell run and emits that
-    whole sample prefix with vector math. Positions, samples, and jump
-    targets are bit-identical to make_march_event's (same lattice, same
-    exit-face/Chebyshev jump formulas — the permutation only relabels axes,
-    and min-over-axes geometry is permutation-invariant), asserted by
-    tests/test_march_composite.py::test_window_round_matches_event_round.
-
-    Args are in PERMUTED space: rays_o_p/rays_d_p with the dominant axis
-    last, packed_flat the matching pack_skip_fields variant. Requires
-    dt_gamma == 0 and cascades == 1 (lattice_march_supported).
-
-    Returns round(t, fars, alive, K_slots, n_iters) ->
-      (t_next [N], ts [N,Ks], dt [N,Ks], valid [N,Ks], eocc [N,Ks]).
-    """
-    assert lattice_march_supported(cfg)
-    H = cfg.grid_size
-    bound = cfg.bound
-    dt = cfg.dt_min
-    mb = min(1.0, bound)
-    scale = 0.5 * H / mb
-    cell_world = (2.0 / H) * mb
-
-    rd = 1.0 / rays_d_p
-    sgn = jnp.sign(rays_d_p)
-    jj = jnp.arange(WINDOW_PACK, dtype=jnp.float32)
-
-    def round_fn(t, fars, alive, K_slots: int, n_iters: int,
-                 with_edit=False):
-        del with_edit  # distill keeps the event scan (renderer._make_round)
-        N = t.shape[0]
-        slots = jnp.arange(K_slots, dtype=jnp.int32)
-        zeros_f = jnp.zeros((N, K_slots), jnp.float32)
-
-        def step(carry, _):
-            tc, cnt, ts_b, dt_b = carry
-            done = (tc >= fars) | ~alive
-            ttj = tc[:, None] + jj[None, :] * dt  # [N, 4]
-            pos = rays_o_p[:, None, :] + ttj[..., None] * rays_d_p[:, None, :]
-            pos = jnp.clip(pos, -bound, bound)
-            cell = jnp.clip((pos + mb) * scale, 0.0,
-                            H - 1.0).astype(jnp.int32)  # [N, 4, 3]
-            x0, y0 = cell[:, 0, 0], cell[:, 0, 1]
-            zw0 = cell[:, 0, 2] >> 2
-            widx = (x0 * H + y0) * (H // WINDOW_PACK) + zw0
-            word = jnp.take(packed_flat, widx, axis=0)  # ONE gather
-
-            zj = cell[..., 2]
-            in_win = ((cell[..., 0] == x0[:, None])
-                      & (cell[..., 1] == y0[:, None])
-                      & ((zj >> 2) == zw0[:, None])
-                      & (ttj < fars[:, None]))
-            fj = (word[:, None] >> (8 * (zj & 3))) & 0xFF  # [N, 4]
-            occj = fj == 0
-
-            # leading run of in-window samples; the event at index S (if
-            # still in-window) is a skip event
-            good = in_win & occj
-            S = jnp.sum(jnp.cumprod(good.astype(jnp.int32), axis=1), axis=1)
-            n_emit = jnp.where(done, 0,
-                               jnp.minimum(S, K_slots - cnt))  # [N]
-            for j in range(WINDOW_PACK):
-                w = (~done) & (j < n_emit)
-                oh = (slots[None, :] == (cnt + j)[:, None]) & w[:, None]
-                ts_b = jnp.where(oh, (tc + j * dt)[:, None], ts_b)
-                dt_b = jnp.where(oh, dt, dt_b)
-            cnt = cnt + n_emit
-            overflow = S > n_emit
-
-            # jump from position S (exact make_march_event formulas)
-            S_c = jnp.minimum(S, WINDOW_PACK - 1)
-            sel = jax.nn.one_hot(S_c, WINDOW_PACK, dtype=jnp.float32)
-            t_S = jnp.sum(ttj * sel, axis=1)
-            pos_S = jnp.sum(pos * sel[..., None], axis=1)
-            cell_S = jnp.sum(cell.astype(jnp.float32) * sel[..., None],
-                             axis=1)
-            f_S = jnp.sum(fj * sel.astype(jnp.int32), axis=1)
-            is_jump = (S < WINDOW_PACK) & ~done & jnp.take_along_axis(
-                in_win, S_c[:, None], axis=1)[:, 0] & (f_S > 0)
-
-            tv = (((cell_S + 0.5 + 0.5 * sgn) * (2.0 / H) - 1.0) * mb
-                  - pos_S) * rd
-            tt_fine = t_S + jnp.maximum(0.0, jnp.min(tv, axis=-1))
-            m = (jnp.left_shift(1, jnp.maximum(f_S - 1, 0)) - 1).astype(
-                jnp.float32)
-            tt = jnp.maximum(tt_fine, t_S + m * cell_world)
-            n_skip = jnp.maximum(jnp.floor((tt - t_S) / dt) + 1.0, 1.0)
-            t_jump = t_S + n_skip * dt
-
-            t_next = jnp.where(
-                done, tc,
-                jnp.where(overflow, tc + n_emit.astype(jnp.float32) * dt,
-                          jnp.where(is_jump, t_jump,
-                                    tc + S.astype(jnp.float32) * dt)))
-            return (t_next, cnt, ts_b, dt_b), None
-
-        (t_new, cnt, ts, dtb), _ = jax.lax.scan(
-            step, (t, jnp.zeros((N,), jnp.int32), zeros_f, zeros_f),
-            None, length=n_iters)
-        valid = slots[None, :] < cnt[:, None]
-        return (t_new, ts, dtb, valid,
-                jnp.zeros((N, K_slots), jnp.bool_))
-
-    return round_fn
-
-
-def make_lattice_round(rays_o, rays_d, skip_flat, edit_flat,
-                       cfg: MarchConfig):
-    """Batched-gather replacement for the serialized march-event scan.
-
-    The event scan gathers the skip field once per event, and events are
-    *serialized* — each position depends on the previous gather's jump. But
-    with dt_gamma == 0 every jump lands on the fixed lattice t + k*dt
-    (march event: `t_skip = t + n*dt`), so a round's whole trajectory lives
-    on Km known positions. This round therefore:
-
-      1. gathers the skip field at ALL Km lattice positions in ONE batched
-         lookup (the 128^3 int8 field is 2 MB — cache-resident, so the
-         batched gather is throughput-bound instead of latency-serialized);
-      2. computes every position's occupancy + safe jump length in lattice
-         units with pure vectorized math;
-      3. needs NO chain walk at all: skip jumps by construction span only
-         known-empty cells, so the set of cells the serialized chain would
-         sample is exactly "occupied lattice positions in range, before the
-         slot-capacity overflow" — a cumsum. Slot packing is a batched
-         rank-select (first index with cumsum == k+1), and the round's
-         advance point is the farthest safe jump target among traversed
-         positions (a masked max): every i before the stop P is empty or
-         consumed, and each (i, i + n_i) span is empty by skip-field
-         construction, so max(i + n_i | i < P) never jumps over an
-         unconsumed occupied cell — and lands at least as far as the
-         serialized chain's exit.
-
-    Sample positions and jump decisions are the same math as
-    make_march_event (raymarching.cu:714-800 semantics); only the memory
-    access pattern changes. Parity with the event scan is asserted by
-    tests/test_march_composite.py::test_lattice_round_matches_event_round.
-
-    Returns round(t, fars, alive, K_slots, Km) ->
-      (t_next [N], ts [N,Ks], dt [N,Ks], valid [N,Ks], eocc [N,Ks]).
-    """
-    assert lattice_march_supported(cfg)
-    H = cfg.grid_size
-    bound = cfg.bound
-    dt = cfg.dt_min
-    mb = min(1.0, bound)
-    scale = 0.5 * H / mb
-    cell_world = (2.0 / H) * mb
-
-    rd = 1.0 / rays_d
-    sgn = jnp.sign(rays_d)
-
-    def round_fn(t, fars, alive, K_slots: int, Km: int, with_edit=False):
-        N = t.shape[0]
-        i_lat = jnp.arange(Km, dtype=jnp.float32)
-        tt = t[:, None] + i_lat[None, :] * dt  # [N, Km]
-        pos = rays_o[:, None, :] + tt[..., None] * rays_d[:, None, :]
-        pos = jnp.clip(pos, -bound, bound)  # [N, Km, 3]
-        cellf = jnp.clip((pos + mb) * scale, 0.0, H - 1.0)
-        cell = cellf.astype(jnp.int32)
-        flat = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
-
-        f = jnp.take(skip_flat, flat.reshape(-1), axis=0).reshape(
-            N, Km).astype(jnp.int32)  # ONE gather
-        occ = f == 0
-
-        # exit face of the current voxel (same formula as make_march_event)
-        c = cell.astype(jnp.float32)
-        tv = (((c + 0.5 + 0.5 * sgn[:, None, :]) * (2.0 / H) - 1.0) * mb
-              - pos) * rd[:, None, :]
-        tt_fine = tt + jnp.maximum(0.0, jnp.min(tv, axis=-1))
-        m = (jnp.left_shift(1, jnp.maximum(f - 1, 0)) - 1).astype(
-            jnp.float32)
-        tt_jump = jnp.maximum(tt_fine, tt + m * cell_world)
-        # jump length in lattice units (>= 1); occupied cells advance 1
-        n_lat = jnp.maximum(
-            jnp.floor((tt_jump - tt) / dt).astype(jnp.int32) + 1, 1)
-        n_lat = jnp.where(occ, 1, n_lat)
-
-        # samples = occupied, before the far plane. The chain visits every
-        # one of them (skip spans are empty by construction), in order.
-        samp = occ & (tt < fars[:, None]) & alive[:, None]
-        cum = jnp.cumsum(samp.astype(jnp.int32), axis=1)  # [N, Km]
-        cnt = jnp.minimum(cum[:, -1], K_slots)
-
-        # slot k <- first lattice index with cum == k+1; as cum is
-        # non-decreasing that is #{i : cum_i <= k} (a batched rank-select;
-        # the broadcast compare fuses into the reduction)
-        ks = jnp.arange(K_slots, dtype=jnp.int32)
-        pos_k = jnp.sum((cum[:, :, None] <= ks[None, None, :])
-                        .astype(jnp.int32), axis=1)  # [N, Ks]
-        valid = ks[None, :] < cnt[:, None]
-        pos_c = jnp.minimum(pos_k, Km - 1)
-        ts_b = jnp.where(valid,
-                         t[:, None] + pos_c.astype(jnp.float32) * dt, 0.0)
-        dt_b = jnp.where(valid, dt, 0.0)
-        if with_edit and edit_flat is not None:
-            flat_s = jnp.take_along_axis(flat, pos_c, axis=1)
-            e_b = (jnp.take(edit_flat, flat_s.reshape(-1), axis=0)
-                   .reshape(N, K_slots) > 0) & valid
-        else:
-            e_b = jnp.zeros((N, K_slots), jnp.bool_)
-
-        # stop point P = the (K_slots+1)-th sample's cell (unconsumed ->
-        # rewind there next round) or Km. Advance to the farthest safe
-        # target among positions before P; i=0 is always < P so the round
-        # always makes progress (g >= n_0 >= 1).
-        P = jnp.sum((cum <= K_slots).astype(jnp.int32), axis=1)  # [N]
-        ii = jnp.arange(Km, dtype=jnp.int32)
-        reach = jnp.where(ii[None, :] < P[:, None],
-                          ii[None, :] + n_lat, 0)
-        g = jnp.max(reach, axis=1)
-        t_next = jnp.where(alive, t + g.astype(jnp.float32) * dt, t)
-        return t_next, ts_b, dt_b, valid, e_b
-
-    return round_fn
-
-
-@partial(jax.jit, static_argnames=("cfg", "with_edit"))
 def march_rays_train(rays_o, rays_d, occupancy, nears, fars, noises,
                      cfg: MarchConfig, edit_grid=None, with_edit: bool = False):
     """March all rays, producing fixed-shape padded sample grids.

@@ -67,17 +67,6 @@ def build_parser():
                    help="march event budget; default = max_steps so rays always cover [near, far] (see docs/DESIGN.md)")
     p.add_argument("--m_cap_per_ray", type=int, default=32)
     p.add_argument("--infer_chunk_events", type=int, default=16)
-    # round-3 render-performance knobs (docs/PERF.md)
-    p.add_argument("--infer_window_march", action="store_true",
-                   help="packed 4-cell skip-field words: 1 gather per up "
-                        "to 4 march events (exact parity)")
-    p.add_argument("--infer_repack_rounds", type=int, default=0,
-                   help="frame-global alive-ray repacking every N rounds")
-    p.add_argument("--infer_view_dtype", type=str, default="",
-                   choices=["", "bf16", "f8"],
-                   help="inference gather-view dtype override")
-    p.add_argument("--infer_warmup_rounds", type=int, default=0,
-                   help="small-eval-width first rounds (n_step schedule)")
     p.add_argument("--eval_chunk", type=int, default=16384)
     p.add_argument("--filter_close_point", action="store_true")
 
@@ -148,10 +137,6 @@ def make_configs(opt):
         march_iters=opt.march_iters or opt.max_steps,
         m_cap_per_ray=opt.m_cap_per_ray,
         infer_chunk_events=opt.infer_chunk_events,
-        infer_window_march=opt.infer_window_march,
-        infer_repack_rounds=opt.infer_repack_rounds,
-        infer_view_dtype=opt.infer_view_dtype,
-        infer_warmup_rounds=opt.infer_warmup_rounds,
     )
     return model_cfg, render_cfg
 

@@ -372,13 +372,10 @@ class EditPipeline:
                                          video_dataset.H, video_dataset.W)
                 frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
             write_video(os.path.join(self.workspace, "video.mp4"), frames)
-        # timings + the frame's real render path: which fast paths were
-        # statically unsupported (cascades > 1 / dt_gamma > 0) and how many
-        # frames fell back on raster-capacity overflow (VERDICT r3 weak #7
-        # — the fallback must be visible in gate artifacts)
+        # timings of record (the r5 renderer has a single march path — the
+        # r2-r4 fast-path portfolio was deleted after losing every on-TPU
+        # A/B, so there is no fallback state to export anymore)
         timings = self.timer.summary()
-        timings["fast_path_unsupported"] = list(tr.fast_path_unsupported)
-        timings["raster_overflows"] = tr.raster_overflows
         with open(os.path.join(self.workspace, "timings.json"), "w") as f:
             json.dump(timings, f, indent=2)
         log_fn(f"[eval] {results} timings={self.timer.summary()}")

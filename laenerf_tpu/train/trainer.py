@@ -16,7 +16,6 @@ mesh hook in parallel/ shards rays across devices for data parallelism.
 
 import dataclasses
 import os
-import sys
 import time
 from functools import partial
 from typing import Any, Optional
@@ -43,6 +42,14 @@ class TrainState:
     opt_state: Any
     ema_params: Any
     step: jax.Array
+
+
+@partial(jax.jit, static_argnames=("bound",))
+def _skip_flat_jit(occupancy, *, bound: float):
+    """Per-frame flat skip field (ops/raymarch.build_skip_field)."""
+    from ..ops.raymarch import build_skip_field
+
+    return build_skip_field(occupancy, bound=bound).reshape(-1)
 
 
 @jax.jit
@@ -316,25 +323,6 @@ class Trainer:
         )
         self.occ_state = occupancy_init(render_cfg.cascades,
                                         render_cfg.grid_size)
-        # Loud fast-path fallback (VERDICT r3 weak #7): the raster/window
-        # fast render paths require dt_gamma == 0 and cascades == 1
-        # (ops/raster.py, ops/raymarch.py lattice precondition). On
-        # mip360-style configs (cascades > 1 / dt_gamma > 0) they used to
-        # disable themselves silently; warn once at construction and keep
-        # counters that gate artifacts export (pipeline/driver.py).
-        self.raster_overflows = 0  # per-frame capacity fallbacks
-        self.fast_path_unsupported = []
-        from ..ops.raymarch import lattice_march_supported
-        _wanted = [nm for nm, on in (
-            ("raster", render_cfg.infer_raster),
-            ("window", render_cfg.infer_window_march)) if on]
-        if _wanted and not lattice_march_supported(render_cfg.march_cfg):
-            self.fast_path_unsupported = _wanted
-            print(f"[laenerf] WARNING: fast render path(s) {_wanted} "
-                  f"requested but unsupported at cascades="
-                  f"{render_cfg.cascades}, dt_gamma={render_cfg.dt_gamma}; "
-                  "falling back to the march path for every frame",
-                  file=sys.stderr, flush=True)
         self.ckpt = CheckpointManager(workspace, name=name,
                                       max_keep=max_keep_ckpt)
         self.log_path = os.path.join(workspace, "log.txt")
@@ -532,8 +520,12 @@ class Trainer:
             from ..ops.hashgrid import octo_view_jit
             params = dict(params,
                           encoder_view=octo_view_jit(
-                              params["encoder"], spec=spec,
-                              dtype=self.render_cfg.infer_view_dtype))
+                              params["encoder"], spec=spec))
+        # per-frame skip field: the chebyshev dilation passes over the full
+        # grid run once here instead of inside every chunk's jit
+        from ..models.renderer import build_march_tables
+        skip_flat = build_march_tables(self.occ_state.occupancy,
+                                       render_cfg=self.render_cfg)
         rays_o, rays_d = pixel_rays(jnp.asarray(pose),
                                     jnp.asarray(intrinsics), H, W)
         n = H * W
@@ -549,18 +541,6 @@ class Trainer:
             rays_o = jnp.concatenate([rays_o, rays_o[:pad]], axis=0)
             rays_d = jnp.concatenate([rays_d, rays_d[:pad]], axis=0)
         stats = os.environ.get("LAENERF_RENDER_STATS")
-        if (self.render_cfg.infer_repack_rounds > 0
-                or self.render_cfg.infer_raster):
-            img, depth = self._render_image_repack(
-                params, rays_o, rays_d, n, chunk, bg_color, stats,
-                pose=pose, intrinsics=intrinsics, H=H, W=W,
-                order=order)
-            inv_d = jnp.asarray(inv)
-            img = np.asarray(jnp.take(img[:n], inv_d, axis=0)).reshape(
-                H, W, 3)
-            depth = np.asarray(jnp.take(depth[:n], inv_d, axis=0)).reshape(
-                H, W)
-            return img, depth
         # dispatch every chunk asynchronously (device arrays only) and fetch
         # once at the end — a per-chunk np.asarray would insert a ~30 ms
         # tunnel round-trip bubble between chunks (the XLA analogue of the
@@ -571,7 +551,7 @@ class Trainer:
                 params, self.occ_state.occupancy,
                 rays_o[s:s + chunk], rays_d[s:s + chunk], self._next_key(),
                 model_cfg=self.model_cfg, render_cfg=self.render_cfg,
-                bg_color=bg_color,
+                bg_color=bg_color, skip_flat=skip_flat,
             )
             imgs.append(out["image"])
             depths.append(out["depth"])
@@ -588,174 +568,13 @@ class Trainer:
         ).reshape(H, W)
         return img, depth
 
-    def _render_image_repack(self, params, rays_o, rays_d, n, chunk,
-                             bg_color, stats, pose=None, intrinsics=None,
-                             H=None, W=None, order=None):
-        """Phased inference with global alive-ray repacking
-        (RenderConfig.infer_repack_rounds): march every chunk R rounds,
-        re-pack the frame's survivors into dense chunks, repeat. The
-        analogue of the reference's host-side alive-ray compaction
-        (renderer.py:336-387) done frame-wide: dead rays in SIMD chunks
-        otherwise keep paying every march-scan gather until their whole
-        chunk retires.
-
-        rays_o/rays_d are already tile-ordered and chunk-padded; returns
-        (image [n_pad, 3], depth [n_pad]) device arrays in that order.
-        """
-        import time as _time
-
-        from ..models.renderer import (build_march_tables,
-                                       finalize_infer_image,
-                                       render_rays_infer_rounds,
-                                       render_rays_stream_rounds)
-        from ..ops.raster import (StreamCaps, build_sample_stream,
-                                  samples_per_pair, slice_stream_payload)
-        from ..ops.raymarch import (lattice_march_supported,
-                                    near_far_from_aabb)
-
-        rcfg = self.render_cfg
-        cfg = rcfg.march_cfg
-        R = rcfg.infer_repack_rounds or 8
-        n_pad = rays_o.shape[0]
-
-        # raster mode: pre-compute every ray's sample list from the
-        # occupied cells (ops/raster.py); rounds then march WITHOUT
-        # skip-field gathers. Falls back to the march when the builder's
-        # static capacities overflow for this frame.
-        stream = None
-        if (rcfg.infer_raster and pose is not None
-                and lattice_march_supported(cfg)):
-            caps = StreamCaps(samples_per_pair=samples_per_pair(cfg))
-            stream = build_sample_stream(
-                self.occ_state.occupancy, jnp.asarray(pose),
-                jnp.asarray(intrinsics), H, W, cfg, caps,
-                min_near=rcfg.min_near)
-            if not bool(stream["ok"]):
-                self.raster_overflows += 1
-                # warn on the 1st/2nd/4th/8th/... occurrence only — a long
-                # video eval that systematically overflows would otherwise
-                # spam stderr (advisor r4); raster_overflows is exported to
-                # timings.json for the rest
-                n = self.raster_overflows
-                if n & (n - 1) == 0:
-                    print("[laenerf] raster stream overflow (frame falls "
-                          f"back to march; {n} so far)",
-                          file=sys.stderr, flush=True)
-                stream = None
-            else:
-                stream_k16 = slice_stream_payload(stream)
-        if stream is None:
-            skip_flat, window_packed = build_march_tables(
-                self.occ_state.occupancy, render_cfg=rcfg)
-        else:
-            # stream arrays are pixel-indexed; rays here are tile-ordered
-            # and padded, + one dead sentinel row (count 0)
-            pix = np.concatenate(
-                [order, order[:n_pad - n]]).astype(np.int32)
-            pix_d = jnp.asarray(pix)
-            base_r = jnp.concatenate(
-                [jnp.take(stream["base"], pix_d),
-                 jnp.zeros((1,), jnp.int32)])
-            count_r = jnp.concatenate(
-                [jnp.take(stream["count"], pix_d),
-                 jnp.zeros((1,), jnp.int32)])
-
-        # one dead sentinel row: id padding targets it, so padded lanes
-        # never alias a live ray
-        rays_o = jnp.concatenate([rays_o, jnp.zeros((1, 3))], axis=0)
-        rays_d = jnp.concatenate(
-            [rays_d, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
-        aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
-        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
-                                         rcfg.min_near)
-        fars = fars.at[n_pad].set(-1.0)  # sentinel: never alive
-        t0 = nears
-        state = {
-            "t": jnp.asarray(nears),
-            "acc": {
-                "T": jnp.ones((n_pad + 1,), jnp.float32),
-                "ws": jnp.zeros((n_pad + 1,), jnp.float32),
-                "depth": jnp.zeros((n_pad + 1,), jnp.float32),
-                "rgb": jnp.zeros((n_pad + 1, 3), jnp.float32),
-            },
-        }
-
-        if stream is not None:
-            state["cursor"] = jnp.zeros((n_pad + 1,), jnp.int32)
-        max_rounds = ((cfg.max_steps // rcfg.infer_chunk_events)
-                      * max(rcfg.infer_compact_factor, 1))
-        ids = np.arange(n_pad, dtype=np.int32)
-        budget = max_rounds
-        phase = 0
-        while ids.size and budget > 0:
-            tt = _time.time()
-            # geometric schedule: each alive-mask fetch is a host<->device
-            # sync (~10-30 ms over the tunnel), so later phases run longer
-            # stretches — the per-chunk while_loop still early-exits the
-            # moment a chunk's rays all die
-            rounds = min(R << phase, budget)
-            pad_ids = (-ids.size) % chunk
-            ids_p = np.concatenate(
-                [ids, np.full((pad_ids,), n_pad, np.int32)])
-            # accumulate per-chunk results and scatter them back ONCE per
-            # phase: a per-chunk _put_tree would rebuild every full-frame
-            # leaf n_chunks times (O(frame) copies each)
-            alive_parts, sls, news = [], [], []
-            for s in range(0, ids_p.size, chunk):
-                sl = jnp.asarray(ids_p[s:s + chunk])
-                ro, rd = _take_tree(rays_o, sl), _take_tree(rays_d, sl)
-                st = _take_tree(state, sl)
-                if stream is not None:
-                    cur_new, acc_new, alive = render_rays_stream_rounds(
-                        params, stream_k16, ro, rd,
-                        _take_tree(base_r, sl), _take_tree(count_r, sl),
-                        st["cursor"], st["acc"], _take_tree(t0, sl),
-                        model_cfg=self.model_cfg, render_cfg=rcfg,
-                        max_rounds=rounds, warmup=phase == 0)
-                    news.append({"t": st["t"], "cursor": cur_new,
-                                 "acc": acc_new})
-                else:
-                    t_new, acc_new, alive = render_rays_infer_rounds(
-                        params, skip_flat, window_packed, ro, rd,
-                        st["t"], st["acc"], _take_tree(t0, sl),
-                        _take_tree(fars, sl),
-                        model_cfg=self.model_cfg, render_cfg=rcfg,
-                        max_rounds=rounds, warmup=phase == 0)
-                    news.append({"t": t_new, "acc": acc_new})
-                sls.append(sl)
-                alive_parts.append(alive)
-            state = _put_tree(
-                state, jnp.concatenate(sls),
-                jax.tree.map(lambda *xs: jnp.concatenate(xs), *news))
-            alive_np = np.concatenate(
-                [np.asarray(a) for a in alive_parts])[:ids.size]
-            if stats:
-                print(f"# repack phase {phase}: {ids.size} rays, "
-                      f"{ids_p.size // chunk} chunks, "
-                      f"{alive_np.sum()} alive, "
-                      f"{_time.time() - tt:.3f}s", flush=True)
-            ids = ids[alive_np]
-            budget -= rounds
-            phase += 1
-
-        image, depth = finalize_infer_image(
-            params, rays_o[:n_pad], rays_d[:n_pad],
-            jax.tree.map(lambda a: a[:n_pad], state["acc"]), bg_color,
-            model_cfg=self.model_cfg)
-        return image, depth
-
     def render_distill_frame(self, edit_grid, pose, intrinsics, H, W,
                              grow_grid=False, chunk=None, params=None):
         """Full-frame distill-path render (image/depth/weights/edit sums/
-        x_term), raster-stream powered when RenderConfig.infer_raster is on
-        (ops/raster.py; march fallback on unsupported configs/overflow).
-        Returns a dict of np arrays [H*W, ...] + scalar min_near."""
-        from ..models.renderer import (render_rays_distill,
-                                       render_rays_distill_stream_rounds)
-        from ..ops.raster import (StreamCaps, build_sample_stream,
-                                  samples_per_pair, slice_stream_payload)
-        from ..ops.raymarch import (lattice_march_supported,
-                                    near_far_from_aabb)
+        x_term). Returns a dict of np arrays [H*W, ...] + scalar min_near.
+        The skip field is built once per frame and shared by every chunk."""
+        from ..models.renderer import render_rays_distill
+        from ..ops.raymarch import build_skip_field
 
         rcfg = self.render_cfg
         cfg = rcfg.march_cfg
@@ -765,95 +584,31 @@ class Trainer:
         n = H * W
         rays_o, rays_d = pixel_rays(jnp.asarray(pose),
                                     jnp.asarray(intrinsics), H, W)
+        march_src = egrid if grow_grid else self.occ_state.occupancy
+        skip_flat = _skip_flat_jit(march_src, bound=cfg.bound)
 
-        stream = None
-        if rcfg.infer_raster and lattice_march_supported(cfg):
-            march_src = egrid if grow_grid else self.occ_state.occupancy
-            caps = StreamCaps(samples_per_pair=samples_per_pair(cfg))
-            stream = build_sample_stream(
-                march_src, jnp.asarray(pose), jnp.asarray(intrinsics),
-                H, W, cfg, caps, min_near=rcfg.min_near)
-            if not bool(stream["ok"]):
-                self.raster_overflows += 1
-                n = self.raster_overflows
-                if n & (n - 1) == 0:  # power-of-two throttle (advisor r4)
-                    print("[laenerf] raster stream overflow in distill "
-                          f"render (falls back to march; {n} so far)",
-                          file=sys.stderr, flush=True)
-                stream = None
-
-        if stream is None:
-            outs = {k: [] for k in ("image", "depth", "depth_edit",
-                                    "weights", "weights_edit", "x_term",
-                                    "nears")}
-            min_nears = []
-            pad = (-n) % chunk
-            ro = (jnp.concatenate([rays_o, rays_o[:pad]]) if pad
-                  else rays_o)
-            rd = (jnp.concatenate([rays_d, rays_d[:pad]]) if pad
-                  else rays_d)
-            for s in range(0, n + pad, chunk):
-                out = render_rays_distill(
-                    params, self.occ_state.occupancy, egrid,
-                    ro[s:s + chunk], rd[s:s + chunk],
-                    jax.random.PRNGKey(0), model_cfg=self.model_cfg,
-                    render_cfg=rcfg, grow_grid=grow_grid)
-                for k in outs:
-                    outs[k].append(out[k])
-                min_nears.append(out["min_near"])
-            res = {k: np.concatenate([np.asarray(x) for x in v])[:n]
-                   for k, v in outs.items()}
-            res["min_near"] = min(float(m) for m in min_nears)
-            return res
-
-        k16 = slice_stream_payload(stream)
-        edit_flat = egrid.reshape(-1)
-        aabb = jnp.array([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
-        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
-                                         rcfg.min_near)
-        max_rounds = ((cfg.max_steps // rcfg.infer_chunk_events)
-                      * max(rcfg.infer_compact_factor, 1))
-        parts = {k: [] for k in ("acc", "ws_edit", "depth_edit")}
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            sl = jnp.arange(s, s + chunk, dtype=jnp.int32)
-            sl = jnp.minimum(sl, n - 1)  # tail pad re-renders last rays
-            ro = jnp.take(rays_o, sl, axis=0)
-            rd = jnp.take(rays_d, sl, axis=0)
-            t0s = jnp.take(nears, sl)
-            A = chunk
-            acc0 = {"T": jnp.ones((A,), jnp.float32),
-                    "ws": jnp.zeros((A,), jnp.float32),
-                    "depth": jnp.zeros((A,), jnp.float32),
-                    "rgb": jnp.zeros((A, 3), jnp.float32)}
-            cur, acc, we, de, _ = render_rays_distill_stream_rounds(
-                params, k16, edit_flat, ro, rd,
-                jnp.take(stream["base"], sl),
-                jnp.take(stream["count"], sl),
-                jnp.zeros((A,), jnp.int32), acc0,
-                jnp.zeros((A,), jnp.float32),
-                jnp.zeros((A,), jnp.float32), t0s,
-                model_cfg=self.model_cfg, render_cfg=rcfg,
-                max_rounds=max_rounds)
-            parts["acc"].append(jax.tree.map(lambda a: a[:e - s], acc))
-            parts["ws_edit"].append(we[:e - s])
-            parts["depth_edit"].append(de[:e - s])
-        acc = jax.tree.map(lambda *xs: jnp.concatenate(xs),
-                           *parts["acc"])
-        ws_edit = jnp.concatenate(parts["ws_edit"])
-        depth_edit = jnp.concatenate(parts["depth_edit"])
-        depth = np.asarray(acc["depth"])
-        rays_d_np = np.asarray(rays_d)
-        res = {
-            "image": np.asarray(acc["rgb"]),
-            "depth": depth,
-            "depth_edit": np.asarray(depth_edit),
-            "weights": np.asarray(acc["ws"]),
-            "weights_edit": np.asarray(ws_edit),
-            "x_term": np.asarray(rays_o) + depth[:, None] * rays_d_np,
-            "nears": np.asarray(nears),
-            "min_near": float(np.min(np.asarray(nears))),
-        }
+        outs = {k: [] for k in ("image", "depth", "depth_edit",
+                                "weights", "weights_edit", "x_term",
+                                "nears")}
+        min_nears = []
+        pad = (-n) % chunk
+        ro = (jnp.concatenate([rays_o, rays_o[:pad]]) if pad
+              else rays_o)
+        rd = (jnp.concatenate([rays_d, rays_d[:pad]]) if pad
+              else rays_d)
+        for s in range(0, n + pad, chunk):
+            out = render_rays_distill(
+                params, self.occ_state.occupancy, egrid,
+                ro[s:s + chunk], rd[s:s + chunk],
+                jax.random.PRNGKey(0), model_cfg=self.model_cfg,
+                render_cfg=rcfg, grow_grid=grow_grid,
+                skip_flat=skip_flat)
+            for k in outs:
+                outs[k].append(out[k])
+            min_nears.append(out["min_near"])
+        res = {k: np.concatenate([np.asarray(x) for x in v])[:n]
+               for k, v in outs.items()}
+        res["min_near"] = min(float(m) for m in min_nears)
         return res
 
     def evaluate(self, dataset, max_views: Optional[int] = None):

@@ -19,21 +19,6 @@ parser.add_argument("--K", type=int, default=32)
 parser.add_argument("--Km", type=int, default=0,
                     help="march events per round (0 = RenderConfig default)")
 parser.add_argument("--factor", type=int, default=2)
-parser.add_argument("--tiers", type=int, default=0,
-                    help="infer_ray_tiers override (0 = config default)")
-parser.add_argument("--pair", action="store_true",
-                    help="enable infer_pair_samples")
-parser.add_argument("--window", action="store_true",
-                    help="enable infer_window_march (packed 4-cell words)")
-parser.add_argument("--view_f8", action="store_true",
-                    help="fp8 inference gather views (infer_view_dtype); "
-                         "also prints a PSNR A/B vs the f32-view render")
-parser.add_argument("--repack", type=int, default=0,
-                    help="infer_repack_rounds (frame-global ray repacking)")
-parser.add_argument("--warmup_rounds", type=int, default=0,
-                    help="infer_warmup_rounds")
-parser.add_argument("--raster", action="store_true",
-                    help="raster-built sample streams (march-free rounds)")
 parser.add_argument("--runs", type=int, default=2)
 parser.add_argument("--stats", action="store_true")
 parser.add_argument("--trace", type=str, default=None,
@@ -67,20 +52,6 @@ def make_render_cfg(**kw):
                 infer_compact_factor=args.factor)
     if args.Km:
         base["infer_march_events"] = args.Km
-    if args.tiers:
-        base["infer_ray_tiers"] = args.tiers
-    if args.pair:
-        base["infer_pair_samples"] = True
-    if args.window:
-        base["infer_window_march"] = True
-    if args.view_f8:
-        base["infer_view_dtype"] = "f8"
-    if args.repack:
-        base["infer_repack_rounds"] = args.repack
-    if args.raster:
-        base["infer_raster"] = True
-    if args.warmup_rounds:
-        base["infer_warmup_rounds"] = args.warmup_rounds
     base.update(kw)
     return RenderConfig(**base)
 
@@ -177,16 +148,6 @@ if args.runs > 0:
           f"{H * W / dt / 1e3:.0f}k rays/s "
           f"(chunk={args.chunk} K={args.K} factor={args.factor})", flush=True)
     print(f"img mean {img.mean():.3f} std {img.std():.3f}", flush=True)
-    if args.view_f8:
-        # quality A/B: same frame with the f32-view path
-        import dataclasses as _dc
-        tr.render_cfg = _dc.replace(tr.render_cfg, infer_view_dtype="")
-        ref, _ = tr.render_image(ds.poses[(args.runs - 1) % len(ds)], intr,
-                                 H, W)
-        mse = float(np.mean((np.asarray(img) - np.asarray(ref)) ** 2))
-        print(f"f8-vs-f32 PSNR {-10 * np.log10(max(mse, 1e-12)):.2f} dB",
-              flush=True)
-        tr.render_cfg = _dc.replace(tr.render_cfg, infer_view_dtype="f8")
 
 if os.environ.get("LAENERF_STUB_EVAL"):
     # diagnostic: render with the network eval stubbed to constants —

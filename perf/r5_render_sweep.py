@@ -37,20 +37,21 @@ H = W = 800
 intr = ds.intrinsics * (H / ds.H)
 intr[2], intr[3] = W / 2, H / 2
 
+# Measured r5 (before the portfolio deletion): march 2912 ms/frame;
+# f8 3212 (+10%), warmup 3622 (+24%), f8+warmup 3297, pair 3826 (+31%),
+# pair+warmup 4580, K24 3851, K32 3694, Km64 3500, cf2 3559, cf8 3294,
+# chunk64k 3561 — every lever LOST to plain march, so the corresponding
+# RenderConfig fields were deleted. chunk16k WON (2674, exact parity) and
+# became the default eval_chunk. The sweep now covers only the surviving
+# knobs.
 CONFIGS = {
     "march": {},
-    "f8": dict(infer_view_dtype="f8"),
-    "warmup": dict(infer_warmup_rounds=2),
-    "f8+warmup": dict(infer_view_dtype="f8", infer_warmup_rounds=2),
-    "pair": dict(infer_pair_samples=True),
-    "pair+warmup": dict(infer_pair_samples=True, infer_warmup_rounds=2),
     "K24": dict(infer_chunk_events=24, infer_march_events=48),
-    "K32": dict(infer_chunk_events=32, infer_march_events=64),
     "Km64": dict(infer_march_events=64),
     "cf2": dict(infer_compact_factor=2),
     "cf8": dict(infer_compact_factor=8),
 }
-CHUNKS = {"chunk64k": 65536, "chunk16k": 16384}
+CHUNKS = {"chunk32k": 32768, "chunk16k": 16384, "chunk8k": 8192}
 
 picked = (args.configs.split(",") if args.configs
           else list(CONFIGS) + list(CHUNKS))
@@ -58,7 +59,7 @@ picked = (args.configs.split(",") if args.configs
 img_ref = None
 results = {}
 for name in picked:
-    tr.eval_chunk = CHUNKS.get(name, 32768)
+    tr.eval_chunk = CHUNKS.get(name, 16384)
     tr.render_cfg = dataclasses.replace(base, **CONFIGS.get(name, {}))
     try:
         t_c = time.time()

@@ -38,9 +38,6 @@ parser.add_argument("--aa", type=int, default=2,
                          "of silhouette noise into the metric (VERDICT r2)")
 parser.add_argument("--min_psnr", type=float, default=0.0,
                     help="fail (exit 1) if test PSNR lands below this")
-parser.add_argument("--fast_render", action="store_true",
-                    help="raster sample streams + warm-up rounds for the "
-                         "eval renders (exact-parity fast path)")
 parser.add_argument("--render_aa", type=int, default=1,
                     help="supersample eval renders by this factor and "
                          "box-downsample (the renderer integrates one ray "
@@ -103,11 +100,6 @@ render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                           infer_chunk_events=16, infer_compact_factor=4)
 tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,
              iters=args.iters, eval_chunk=16384)
-if args.fast_render:
-    import dataclasses
-    tr.render_cfg = dataclasses.replace(tr.render_cfg, infer_raster=True,
-                                        infer_warmup_rounds=2)
-
 start = 0
 if args.resume or args.eval_only:
     if tr.load_checkpoint("latest"):

@@ -29,9 +29,6 @@ parser.add_argument("--style_steps", type=int, default=10000)
 parser.add_argument("--distill_steps", type=int, default=7000)
 parser.add_argument("--palette_steps", type=int, default=1500)
 parser.add_argument("--mode", default="recolor", choices=["recolor", "style"])
-parser.add_argument("--fast_render", action="store_true",
-                    help="raster sample streams + warm-up rounds for all "
-                         "frame renders (edit dataset, masks, eval)")
 parser.add_argument("--style_lg", type=int, default=19,
                     help="editing-encoder log2_hashmap_size (18 halves "
                          "the style-step backward table)")
@@ -75,11 +72,6 @@ render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
 tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,
              iters=30000, eval_chunk=16384)
 assert tr.load_checkpoint("latest"), "train with quality_gate.py first"
-if args.fast_render:
-    import dataclasses
-    tr.render_cfg = dataclasses.replace(tr.render_cfg, infer_raster=True,
-                                        infer_warmup_rounds=2)
-
 train_ds = NeRFDataset(scene_dir, "train", num_rays=4096)
 test_ds = NeRFDataset(scene_dir, "test")
 

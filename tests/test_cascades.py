@@ -286,16 +286,3 @@ def test_pipeline_bound2_recolor(tmp_path):
     cfg.palette_mod = np.clip(pal * np.array([0.1, 1.5, 0.1]), 0, 1)
     stats = pipe.distill_phase(log_fn=lambda *a: None)
     assert np.isfinite(stats["sparsity_loss"])
-
-
-def test_trainer_warns_on_unsupported_fast_path(tmp_path, capsys):
-    """Requesting raster/window fast paths at cascades=2 must warn loudly
-    and record the fallback for gate artifacts (VERDICT r3 weak #7)."""
-    from laenerf_tpu.train import Trainer
-
-    rcfg = RenderConfig(bound=BOUND, cascades=2, grid_size=16, max_steps=64,
-                        march_iters=128, m_cap_per_ray=96,
-                        infer_raster=True, infer_window_march=True)
-    tr = Trainer(str(tmp_path / "ws"), MODEL_CFG2, rcfg, iters=10)
-    assert tr.fast_path_unsupported == ["raster", "window"]
-    assert "unsupported at cascades=2" in capsys.readouterr().err

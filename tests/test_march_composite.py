@@ -292,135 +292,3 @@ def test_skip_field_empty_and_full():
     full = jnp.ones((1, 16, 16, 16), jnp.uint8)
     f = np.asarray(build_skip_field(full))
     assert (f == 0).all()
-
-
-def test_lattice_round_matches_event_round():
-    """The batched-lattice march round must produce the same SEQUENCE of
-    samples per ray as the serialized event round when both march to
-    completion (round boundaries legitimately differ: the event round
-    spends a fixed number of march events per round, the lattice round a
-    fixed stretch of dt lattice)."""
-    from laenerf_tpu.models.renderer import _march_round
-    from laenerf_tpu.ops.raymarch import (MarchConfig, build_skip_field,
-                                          make_lattice_round,
-                                          make_march_event,
-                                          near_far_from_aabb)
-
-    rng = np.random.RandomState(11)
-    H = 32
-    occ = (rng.rand(1, H, H, H) > 0.9).astype(np.uint8)
-    cfg = MarchConfig(bound=1.0, cascades=1, grid_size=H, max_steps=128,
-                      march_iters=128)
-    skip_flat = build_skip_field(jnp.asarray(occ)).reshape(-1)
-
-    N = 256
-    rays_o = jnp.asarray(rng.randn(N, 3) * 0.1 + np.array([0, 0, -2.5]),
-                         jnp.float32)
-    d = rng.randn(N, 3) * 0.25 + np.array([0, 0, 1.0])
-    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
-                         jnp.float32)
-    aabb = jnp.array([-1.0] * 3 + [1.0] * 3, jnp.float32)
-    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
-
-    event = make_march_event(rays_o, rays_d, skip_flat, None, cfg)
-    lat = make_lattice_round(rays_o, rays_d, skip_flat, None, cfg)
-
-    def march_all(round_fn):
-        t = nears
-        seqs = [[] for _ in range(N)]
-        for _ in range(64):
-            alive = t < fars
-            if not bool(alive.any()):
-                break
-            t_new, ts, dt, valid, _ = round_fn(t, fars, alive)
-            ts_np, v_np = np.asarray(ts), np.asarray(valid)
-            for i in range(N):
-                seqs[i].extend(ts_np[i][v_np[i]].tolist())
-            t = t_new
-        return seqs
-
-    seq_e = march_all(lambda t, f, a: _march_round(event, t, f, a, 16, 32))
-    seq_l = march_all(lambda t, f, a: lat(t, f, a, 16, 32))
-
-    n_diff = 0
-    for i in range(N):
-        if len(seq_e[i]) != len(seq_l[i]):
-            n_diff += 1
-            continue
-        if seq_e[i] and not np.allclose(seq_e[i], seq_l[i], atol=1e-4):
-            n_diff += 1
-    # identical math up to f32 rounding of t + k*dt vs accumulated t;
-    # allow a tiny fraction of rays to differ at cell boundaries
-    assert n_diff <= max(2, N // 100), f"{n_diff}/{N} rays diverged"
-
-
-def test_window_round_matches_event_round():
-    """The packed-window march round must produce the same SEQUENCE of
-    samples per ray as the serialized event round when both march to
-    completion (round boundaries differ: the event round retires a fixed
-    number of events per round, the window round a variable 1-4 per scan
-    iteration)."""
-    from laenerf_tpu.models.renderer import _march_round
-    from laenerf_tpu.ops.raymarch import (WINDOW_PERMS, MarchConfig,
-                                          build_skip_field,
-                                          make_march_event,
-                                          make_window_round,
-                                          near_far_from_aabb,
-                                          pack_skip_fields)
-
-    rng = np.random.RandomState(7)
-    H = 32
-    occ = (rng.rand(1, H, H, H) > 0.88).astype(np.uint8)
-    cfg = MarchConfig(bound=1.0, cascades=1, grid_size=H, max_steps=128,
-                      march_iters=128)
-    field = build_skip_field(jnp.asarray(occ))
-    skip_flat = field.reshape(-1)
-    packed3 = pack_skip_fields(field)
-
-    N = 256
-    rays_o = jnp.asarray(rng.randn(N, 3) * 0.1 + np.array([0, 0, -2.5]),
-                         jnp.float32)
-    d = rng.randn(N, 3) * 0.35 + np.array([0.2, -0.1, 1.0])
-    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
-                         jnp.float32)
-    aabb = jnp.array([-1.0] * 3 + [1.0] * 3, jnp.float32)
-    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
-
-    event = make_march_event(rays_o, rays_d, skip_flat, None, cfg)
-
-    # exercise all three axis variants, not just the dominant one: the
-    # permutation must be a pure relabeling
-    for dom in range(3):
-        perm = WINDOW_PERMS[dom]
-        o_p = rays_o[:, list(perm)]
-        d_p = rays_d[:, list(perm)]
-        win = make_window_round(o_p, d_p, packed3[dom], cfg)
-
-        def march_all(round_fn):
-            t = nears
-            seqs = [[] for _ in range(N)]
-            for _ in range(96):
-                alive = t < fars
-                if not bool(alive.any()):
-                    break
-                t_new, ts, dt, valid, _ = round_fn(t, fars, alive)
-                ts_np, v_np = np.asarray(ts), np.asarray(valid)
-                for i in range(N):
-                    seqs[i].extend(ts_np[i][v_np[i]].tolist())
-                t = t_new
-            return seqs
-
-        seq_e = march_all(
-            lambda t, f, a: _march_round(event, t, f, a, 16, 32))
-        seq_l = march_all(lambda t, f, a: win(t, f, a, 16, 16))
-
-        n_diff = 0
-        for i in range(N):
-            if len(seq_e[i]) != len(seq_l[i]):
-                n_diff += 1
-                continue
-            if seq_e[i] and not np.allclose(seq_e[i], seq_l[i], atol=1e-4):
-                n_diff += 1
-        # identical math up to f32 rounding at cell boundaries
-        assert n_diff <= max(2, N // 100), \
-            f"dom={dom}: {n_diff}/{N} rays diverged"

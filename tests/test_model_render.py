@@ -156,40 +156,3 @@ def test_mark_untrained_grid():
     assert m[16, 16, 24] == 0
     assert m[0, 16, 0] == -1
     assert 0.05 < (m == 0).mean() < 0.95
-
-
-def test_infer_warmup_rounds_match():
-    """Warm-up rounds regroup the same marched samples into smaller first
-    rounds — the rendered image must be unchanged."""
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from laenerf_tpu.models import NeRFConfig, RenderConfig
-    from laenerf_tpu.models.nerf import nerf_init
-    from laenerf_tpu.models.renderer import render_rays_infer
-
-    rng = np.random.RandomState(2)
-    ncfg = NeRFConfig(num_levels=4, log2_hashmap_size=12)
-    rcfg = RenderConfig(bound=1.0, cascades=1, grid_size=32, max_steps=128,
-                        march_iters=128)
-    params = nerf_init(jax.random.PRNGKey(0), ncfg)
-    g = np.linspace(-1, 1, 32) + 1 / 32
-    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
-    occ = jnp.asarray(((X**2 + Y**2 + Z**2) < 0.3).astype(np.uint8)[None])
-    N = 512
-    d = rng.randn(N, 3) * 0.3 + np.array([0, 0, 1.0])
-    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
-                         jnp.float32)
-    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (N, 1)), jnp.float32)
-    key = jax.random.PRNGKey(1)
-    out = render_rays_infer(params, occ, rays_o, rays_d, key,
-                            model_cfg=ncfg, render_cfg=rcfg)
-    rcfg_w = dataclasses.replace(rcfg, infer_warmup_rounds=2,
-                                 infer_warmup_slots=4)
-    out_w = render_rays_infer(params, occ, rays_o, rays_d, key,
-                              model_cfg=ncfg, render_cfg=rcfg_w)
-    np.testing.assert_allclose(np.asarray(out_w["image"]),
-                               np.asarray(out["image"]), atol=2e-3)

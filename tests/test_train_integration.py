@@ -146,21 +146,26 @@ def test_render_image_repack_matches_plain(scene_dir):
             tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
         img, depth = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
 
-        tr.render_cfg = dataclasses.replace(tr.render_cfg,
-                                            infer_repack_rounds=2)
-        img2, depth2 = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
-        np.testing.assert_allclose(img2, img, atol=2e-3)
-        np.testing.assert_allclose(depth2, depth, atol=2e-2)
-
-        # and with the window march on top
-        tr.render_cfg = dataclasses.replace(tr.render_cfg,
-                                            infer_window_march=True)
-        img3, _ = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
-        np.testing.assert_allclose(img3, img, atol=2e-3)
-
-        # raster-built sample streams: march-free rounds, same image
-        tr.render_cfg = dataclasses.replace(
-            RENDER_CFG, infer_raster=True, infer_repack_rounds=2)
-        img4, depth4 = tr.render_image(ds.poses[0], ds.intrinsics, 64, 64)
-        np.testing.assert_allclose(img4, img, atol=2e-3)
-        np.testing.assert_allclose(depth4, depth, atol=2e-2)
+        # per-frame hoisted skip field must be exact parity with the
+        # field built inside the chunk jit (render_image passes it)
+        from laenerf_tpu.models.renderer import (build_march_tables,
+                                                 render_rays_infer)
+        from laenerf_tpu.data.rays import pixel_rays
+        import jax.numpy as jnp
+        skip_flat = build_march_tables(tr.occ_state.occupancy,
+                                       render_cfg=tr.render_cfg)
+        rays_o, rays_d = pixel_rays(jnp.asarray(ds.poses[0]),
+                                    jnp.asarray(ds.intrinsics), 64, 64)
+        import jax
+        params = dict(tr.state.ema_params)
+        out_a = render_rays_infer(params, tr.occ_state.occupancy,
+                                  rays_o, rays_d, jax.random.PRNGKey(0),
+                                  model_cfg=tr.model_cfg,
+                                  render_cfg=tr.render_cfg, bg_color=1.0)
+        out_b = render_rays_infer(params, tr.occ_state.occupancy,
+                                  rays_o, rays_d, jax.random.PRNGKey(0),
+                                  model_cfg=tr.model_cfg,
+                                  render_cfg=tr.render_cfg, bg_color=1.0,
+                                  skip_flat=skip_flat)
+        np.testing.assert_allclose(np.asarray(out_b["image"]),
+                                   np.asarray(out_a["image"]), atol=1e-6)
