@@ -542,10 +542,21 @@ def _encode_octo(table, u, oob, spec: HashGridSpec, prefix, compute_dtype,
     # with a single combined scatter-add backward (_gather_rows_multi)
     vals = _gather_rows_multi(tuple(v.shape[0] for v in view),
                               tuple(view), idx)  # [B, L, 8C]
-    vals = vals.astype(out_dtype).reshape(B, L, 8, C)
-    # elementwise multiply-reduce, NOT an einsum: a [B]-batched [1,8]@[8,C]
-    # dot_general is pathological for the TPU compiler at render batch sizes
-    out = jnp.sum(w[..., None] * vals, axis=2)  # [B, L, C]
+    import os as _os
+    interp = _os.environ.get("LAENERF_INTERP", "wsum")
+    vals = vals.astype(out_dtype)
+    if interp == "slices":
+        out = 0.0
+        for corner in range(8):
+            out = out + (w[:, :, corner, None]
+                         * vals[:, :, corner * C:(corner + 1) * C])
+    elif interp == "einsum":
+        out = jnp.einsum("blk,blkc->blc", w, vals.reshape(B, L, 8, C))
+    else:
+        # elementwise multiply-reduce, NOT an einsum: a [B]-batched
+        # [1,8]@[8,C] dot_general is pathological for the TPU compiler at
+        # render batch sizes
+        out = jnp.sum(w[..., None] * vals.reshape(B, L, 8, C), axis=2)
     out = jnp.where(oob[:, None, None], 0.0, out)
     return out.reshape(prefix + (L * C,))
 

@@ -89,13 +89,19 @@ test_ds = NeRFDataset(scene_dir, "test")
 model_cfg = NeRFConfig(bound=1.0, num_levels=args.num_levels,
                        level_dim=args.level_dim,
                        log2_hashmap_size=args.lg)
-# march budget scales with dt resolution (ADVICE r4): at max_steps=1024 the
-# dt lattice halves vs 512, so both the event budget and the per-ray sample
-# cap must double or deeper configs silently truncate samples.
+# march budget scales with dt resolution (ADVICE r4) — but capped by HBM:
+# at max_steps=1024 the proportional budget (march_iters 768, m_cap 64)
+# OOMs a 16 GB v5e by 2.9 GB and even 640/48 misses by 0.5 GB (measured
+# r5, /tmp/probe_gaterun.py protocol); 512/40 fits and runs. Saturation is
+# visible in the samples/ray training log below — if it pins at the cap,
+# the budget truncated.
+if args.max_steps <= 512:
+    _mi, _mc = max(256, 384 * args.max_steps // 512), 32
+else:
+    _mi, _mc = 512, 40
 render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                           max_steps=args.max_steps,
-                          march_iters=max(256, 384 * args.max_steps // 512),
-                          m_cap_per_ray=max(32, 32 * args.max_steps // 512),
+                          march_iters=_mi, m_cap_per_ray=_mc,
                           density_thresh=10.0,
                           infer_chunk_events=16, infer_compact_factor=4)
 tr = Trainer(os.path.join(ws, "ws"), model_cfg, render_cfg, lr=1e-2,
@@ -111,14 +117,16 @@ if not args.eval_only:
     t0 = time.time()
     last = t0
     for step in range(start, args.iters):
-        tr.train_one_batch(train_ds.get_batch(step % len(train_ds)),
-                           has_alpha=True)
+        aux = tr.train_one_batch(train_ds.get_batch(step % len(train_ds)),
+                                 has_alpha=True)
         if (step + 1) % 1000 == 0:
             jax.block_until_ready(tr.state.params)
             now = time.time()
             occ = float(jnp.mean(tr.occ_state.occupancy))
+            spr = float(jnp.mean(aux["n_samples"]))
             print(f"# step {step + 1}/{args.iters} "
-                  f"{1000 / (now - last):.1f} it/s occ {occ:.3f}",
+                  f"{1000 / (now - last):.1f} it/s occ {occ:.3f} "
+                  f"samples/ray {spr:.1f} (cap {_mc})",
                   flush=True)
             last = now
             if (step + 1) % 5000 == 0:
