@@ -43,15 +43,30 @@ def load_pytree(path, like):
     Leaves are device_put eagerly: returning host numpy arrays would make
     every subsequent jitted call re-upload the full tree (measured 10-20x
     slowdown of post-load rendering through the TPU tunnel).
+
+    Keys under opt_state that are absent from the file keep `like`'s
+    (freshly initialized) leaves — optimizer-state STRUCTURE may evolve
+    across versions (e.g. the r5 optax.flatten change) and model weights,
+    not Adam moments, are what a checkpoint must preserve. Any other
+    missing key still raises.
     """
     data = np.load(path, allow_pickle=False)
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
     leaves = []
+    stale_opt = []
     for p, leaf in flat:
         key = jax.tree_util.keystr(p)
         if key not in data:
+            if "opt_state" in key:
+                stale_opt.append(key)
+                leaves.append(leaf)
+                continue
             raise KeyError(f"checkpoint missing {key}")
         leaves.append(jax.device_put(data[key]))
+    if stale_opt:
+        print(f"[ckpt] {path}: optimizer-state layout changed; "
+              f"{len(stale_opt)} opt_state leaves reinitialized "
+              "(weights/EMA loaded normally)", flush=True)
     return jax.tree_util.tree_unflatten(treedef, leaves), _load_meta(path)
 
 

@@ -65,9 +65,19 @@ def _put_tree(tree, ids, new):
 
 
 def make_optimizer(lr: float, iters: int):
-    """Adam + LambdaLR 0.1**(step/iters) (main_nerf.py:223-240)."""
+    """Adam + LambdaLR 0.1**(step/iters) (main_nerf.py:223-240).
+
+    optax.flatten runs the update math on one flat vector: the [T, 4]
+    hash-table leaf processes at ~75 GB/s effective in elementwise kernels
+    (narrow-lane tiling) vs ~430 GB/s flat (measured r5, docs/PERF.md), so
+    flattening the 4-array adam traffic pays for the reshape passes.
+    LAENERF_FLAT_OPT=0 opts out (also restores the r4 opt_state pytree
+    structure for old checkpoints)."""
     schedule = lambda step: lr * (0.1 ** jnp.minimum(step / iters, 1.0))
-    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
+    opt = optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
+    if os.environ.get("LAENERF_FLAT_OPT", "1") != "0":
+        opt = optax.flatten(opt)
+    return opt
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "render_cfg", "optimizer",
