@@ -290,24 +290,7 @@ def _octo_corner_offsets(spec: HashGridSpec, level: int):
             for c in range(8)]
 
 
-def octo_view(table, spec: HashGridSpec, dtype: str = ""):
-    """Build PER-LEVEL overlapped views: a tuple of [size_l, 8C] arrays
-    where row i of level l holds the features of all 8 corners of the cell
-    whose base corner is row i.
-
-    Pure rolls + concats (bandwidth-bound, ~1 ms at the 2.9M-row training
-    table); autodiff folds the view gradient back onto the base table as 8
-    rolled adds. Views are emitted in spec.gather_dtype (XLA row gathers
-    are byte-bound, so bf16 views halve encoder gather bytes).
-
-    Per-level (instead of one concatenated [T, 8C] view) because XLA TPU
-    gather throughput depends on the *operand working set*: gathers from a
-    33 MB per-level view run ~4x faster than from the 188 MB concatenated
-    view (66 vs 268 ns/sample measured at the L8C4/lg19 render spec).
-
-    Inference callers should build this ONCE per frame/step and pass it to
-    hashgrid_encode(view=...) so per-chunk calls skip the rebuild.
-    """
+def _octo_view_impl(table, spec: HashGridSpec, dtype: str):
     eff = dtype or spec.gather_dtype
     if eff == "bf16":
         table = table.astype(jnp.bfloat16)
@@ -327,6 +310,69 @@ def octo_view(table, spec: HashGridSpec, dtype: str = ""):
         parts.append(jnp.concatenate(
             [jnp.roll(tbl_l, -o, axis=0) for o in offs], axis=1))
     return tuple(parts)
+
+
+def _octo_fold_level(g_l, offs, C):
+    """Fold a view cotangent [size, 8C] onto the level table: [size, C].
+
+    Done in TRANSPOSED [8C, size] space: the naive roll-transpose that
+    autodiff emits materializes eight [size, C] temps per level whose
+    C (=2 or 4) lanes tile-pad to 128 on TPU — a 32-64x memory expansion
+    that OOM'd the 16 GB chip at L16C2 (119 MB per temp, r5 quality-gate
+    compile dump). Transposed, the narrow axis is the sublane axis (<=4x
+    pad) and the 8 shifted adds run on full 489k-wide lanes.
+    """
+    gT = g_l.astype(jnp.float32).T  # [8C, size]
+    acc = gT[0:C]  # corner 0 has offset 0 (_octo_corner_offsets)
+    for c in range(1, 8):
+        # forward: view_c[i] = table[(i + o_c) % size]  =>
+        # d table[r] += g_c[(r - o_c) % size] == roll(g_c, +o_c)[r]
+        acc = acc + jnp.roll(gT[c * C:(c + 1) * C], offs[c], axis=1)
+    return acc.T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _octo_view_cvjp(table, spec, dtype):
+    return _octo_view_impl(table, spec, dtype)
+
+
+def _octo_view_cvjp_fwd(table, spec, dtype):
+    return _octo_view_impl(table, spec, dtype), None
+
+
+def _octo_view_cvjp_bwd(spec, dtype, _, g):
+    C = spec.level_dim
+    parts = [
+        _octo_fold_level(g_l, _octo_corner_offsets(spec, level), C)
+        for level, g_l in enumerate(g)
+    ]
+    return (jnp.concatenate(parts, axis=0),)
+
+
+_octo_view_cvjp.defvjp(_octo_view_cvjp_fwd, _octo_view_cvjp_bwd)
+
+
+def octo_view(table, spec: HashGridSpec, dtype: str = ""):
+    """Build PER-LEVEL overlapped views: a tuple of [size_l, 8C] arrays
+    where row i of level l holds the features of all 8 corners of the cell
+    whose base corner is row i.
+
+    Pure rolls + concats (bandwidth-bound, ~1 ms at the 2.9M-row training
+    table); the custom VJP folds the view gradient back onto the base
+    table as 8 shifted adds in transposed space (_octo_fold_level — the
+    autodiff fold tile-padded 64x and OOM'd at L16C2). Views are emitted
+    in spec.gather_dtype (XLA row gathers are byte-bound, so bf16 views
+    halve encoder gather bytes).
+
+    Per-level (instead of one concatenated [T, 8C] view) because XLA TPU
+    gather throughput depends on the *operand working set*: gathers from a
+    33 MB per-level view run ~4x faster than from the 188 MB concatenated
+    view (66 vs 268 ns/sample measured at the L8C4/lg19 render spec).
+
+    Inference callers should build this ONCE per frame/step and pass it to
+    hashgrid_encode(view=...) so per-chunk calls skip the rebuild.
+    """
+    return _octo_view_cvjp(table, spec, dtype)
 
 
 # jitted entry for per-frame callers (Trainer.render_image etc.); spec is

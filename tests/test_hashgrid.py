@@ -281,3 +281,53 @@ def test_octo_view_f8_close():
     import numpy as np
     oob = np.any(np.abs(np.asarray(x)) > 1.0, axis=-1)
     assert np.all(np.asarray(f8)[oob] == 0)
+
+
+def test_octo_view_custom_fold_matches_autodiff():
+    """The transposed-space view-grad fold (custom VJP, added after the
+    autodiff fold's 64x tile-padded temps OOM'd the L16C2 quality gate)
+    must match plain autodiff through the roll/concat forward exactly."""
+    from laenerf_tpu.ops.hashgrid import _octo_view_impl, octo_view
+
+    spec = HashGridSpec.create(desired_resolution=128, num_levels=6,
+                               level_dim=2, base_resolution=8,
+                               log2_hashmap_size=11, octo_gather=True)
+    table = jax.random.normal(jax.random.PRNGKey(3), (spec.table_rows, 2))
+    # a fixed nontrivial cotangent on every view element
+    def loss(fn, t):
+        views = fn(t, spec, "")
+        return sum(jnp.sum(jnp.sin(v.astype(jnp.float32)) * (i + 1))
+                   for i, v in enumerate(views))
+
+    g_auto = jax.grad(lambda t: loss(_octo_view_impl, t))(table)
+    g_cust = jax.grad(lambda t: loss(octo_view, t))(table)
+    np.testing.assert_allclose(np.asarray(g_cust), np.asarray(g_auto),
+                               rtol=1e-6, atol=1e-6)
+
+    # bf16 view mode (the training configuration): the custom fold sums the
+    # 8 corner contributions in f32 while autodiff's roll-transpose sums in
+    # bf16, so they agree only to bf16 accumulation noise. The custom fold
+    # is verified EXACTLY against an f32 NumPy fold of the quantized
+    # cotangents below.
+    g_auto16 = jax.grad(lambda t: loss(
+        lambda t_, s, d: _octo_view_impl(t_, s, "bf16"), t))(table)
+    g_cust16 = jax.grad(lambda t: loss(
+        lambda t_, s, d: octo_view(t_, s, "bf16"), t))(table)
+    np.testing.assert_allclose(np.asarray(g_cust16), np.asarray(g_auto16),
+                               rtol=0.05, atol=0.5)
+
+    from laenerf_tpu.ops.hashgrid import _octo_corner_offsets
+
+    views = [np.asarray(v).astype(np.float32)
+             for v in _octo_view_impl(table, spec, "bf16")]
+    C = spec.level_dim
+    g_ref = np.zeros((spec.table_rows, C), np.float32)
+    for lvl, v in enumerate(views):
+        ct = (np.cos(v) * (lvl + 1)).astype(jnp.bfloat16).astype(np.float32)
+        offs = _octo_corner_offsets(spec, lvl)
+        base, size = spec.level_offsets[lvl], spec.level_sizes[lvl]
+        for c in range(8):
+            g_ref[base:base + size] += np.roll(ct[:, c * C:(c + 1) * C],
+                                               offs[c], axis=0)
+    np.testing.assert_allclose(np.asarray(g_cust16), g_ref, rtol=1e-6,
+                               atol=1e-6)
