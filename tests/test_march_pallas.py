@@ -1,0 +1,96 @@
+"""Parity of the Pallas march-round kernel against the XLA event-scan round
+(models/renderer._march_round) on a random occupancy field, in interpret
+mode (CPU). The float paths are algebraically equal but reassociated, so a
+boundary ulp may shift WHICH lattice step a skip lands on; both paths
+self-correct (re-skip), so parity is asserted exactly on ~all rays and by
+invariants (lattice alignment, occupied cells only) on the rest."""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from laenerf_tpu.ops.march_pallas import NR, march_round_pallas
+from laenerf_tpu.ops.raymarch import (MarchConfig, build_skip_field,
+                                      make_march_event, near_far_from_aabb)
+
+
+def _setup(seed=0, H=128, occ_frac=0.02):
+    rng = np.random.default_rng(seed)
+    occ = (rng.random((1, H, H, H)) < occ_frac).astype(np.uint8)
+    cfg = MarchConfig(bound=1.0, cascades=1, grid_size=H, max_steps=256,
+                      march_iters=256)
+    skip = build_skip_field(jnp.asarray(occ), bound=cfg.bound)
+    # rays from a ring looking inward (mix of hits and misses)
+    th = rng.uniform(0, 2 * np.pi, NR)
+    o = np.stack([2.5 * np.cos(th), 2.5 * np.sin(th),
+                  rng.uniform(-0.5, 0.5, NR)], 1).astype(np.float32)
+    tgt = rng.uniform(-0.7, 0.7, (NR, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1], jnp.float32)
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+    return cfg, skip, jnp.asarray(o), jnp.asarray(d), nears, fars
+
+
+def test_march_round_pallas_parity():
+    from laenerf_tpu.models.renderer import _march_round
+
+    cfg, skip, o, d, nears, fars = _setup()
+    Ks, Km = 16, 32
+    alive = jnp.ones((NR,), bool)
+    t0 = nears
+
+    event = make_march_event(o, d, skip.reshape(-1), None, cfg)
+    t_ref, ts_ref, dt_ref, valid_ref, _ = _march_round(
+        event, t0, fars, alive, Ks, Km)
+
+    field2d = skip.reshape(cfg.grid_size * cfg.grid_size, cfg.grid_size)
+    t_p, ts_p, dt_p, valid_p = march_round_pallas(
+        t0, fars, alive, o, d, field2d, H=cfg.grid_size, Km=Km, Ks=Ks,
+        dt_min=cfg.dt_min, dt_max=cfg.dt_max, gamma=cfg.dt_gamma,
+        bound=cfg.bound, interpret=True)
+
+    valid_ref = np.asarray(valid_ref)
+    valid_p = np.asarray(valid_p)
+    ts_ref_n, ts_p_n = np.asarray(ts_ref), np.asarray(ts_p)
+
+    # rays where both paths agree exactly on the sample pattern
+    same = (valid_ref == valid_p).all(1)
+    agree = same.mean()
+    assert agree > 0.999, f"sample-pattern agreement {agree:.4f}"
+    np.testing.assert_allclose(ts_p_n[same] * valid_p[same],
+                               ts_ref_n[same] * valid_ref[same],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_p)[same],
+                               np.asarray(t_ref)[same], rtol=0, atol=1e-5)
+
+    # invariants for every ray: valid samples sit on the dt lattice and in
+    # occupied cells (the property the conservative skip field guarantees)
+    H = cfg.grid_size
+    occ3 = np.asarray(skip.reshape(H, H, H)) == 0
+    vi, vs = np.nonzero(valid_p)
+    pos = np.asarray(o)[vi] + ts_p_n[vi, vs, None] * np.asarray(d)[vi]
+    cell = np.clip(((pos + 1) * (H / 2)).astype(int), 0, H - 1)
+    frac_occ = occ3[cell[:, 0], cell[:, 1], cell[:, 2]].mean()
+    assert frac_occ > 0.999, frac_occ
+    k = (ts_p_n[vi, vs] - np.asarray(t0)[vi]) / cfg.dt_min
+    assert np.abs(k - np.round(k)).max() < 1e-3
+
+    # dts in the gamma == 0 config are the constant fine step
+    assert np.allclose(np.asarray(dt_p)[valid_p], cfg.dt_min)
+
+
+def test_march_round_pallas_dead_rays_freeze():
+    cfg, skip, o, d, nears, fars = _setup(seed=1)
+    Ks, Km = 16, 32
+    alive = jnp.zeros((NR,), bool)  # nobody marches
+    field2d = skip.reshape(cfg.grid_size * cfg.grid_size, cfg.grid_size)
+    t_p, ts_p, _, valid_p = march_round_pallas(
+        nears, fars, alive, o, d, field2d, H=cfg.grid_size, Km=Km, Ks=Ks,
+        dt_min=cfg.dt_min, dt_max=cfg.dt_max, gamma=cfg.dt_gamma,
+        bound=cfg.bound, interpret=True)
+    assert not np.asarray(valid_p).any()
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(nears))
