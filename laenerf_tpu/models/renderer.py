@@ -86,6 +86,14 @@ class RenderConfig:
     # (infer_march_events > slots), the compacted-eval capacity ladder,
     # 16k tile-ordered chunks, and the per-frame skip-field hoist.
     infer_compact_factor: int = 4
+    # Pallas march-round kernel (ops/march_pallas): the whole Km-event scan
+    # in one kernel with the 2 MB skip field VMEM-resident, replacing Km
+    # serialized XLA gathers (~8 ns/ray/event of pure gather latency) per
+    # round. Engages only when the chunk is exactly 16384 rays, cascades=1
+    # and grid_size=128 (the kernel's same-shape gather constraint); other
+    # shapes keep the XLA event scan. Off by default until the on-silicon
+    # A/B (perf/microbench_march_pallas.py) proves it.
+    infer_pallas_march: bool = False
 
     @property
     def march_cfg(self) -> MarchConfig:
@@ -410,11 +418,27 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
 
     K_march = render_cfg.infer_march_events or K
     march_round = _make_round(rays_o, rays_d, skip_flat, None, cfg)
+    from ..ops import march_pallas as _mp
+
+    use_pallas = (render_cfg.infer_pallas_march and cfg.cascades == 1
+                  and N == _mp.NR and cfg.grid_size ** 2 == _mp.NR
+                  and K_march > K)
+    if use_pallas:
+        field2d = skip_flat.reshape(cfg.grid_size ** 2, cfg.grid_size)
+        interp = jax.default_backend() != "tpu"
 
     def body(c):
         t, acc = c["t"], c["acc"]
         alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
-        t_new, ts, dt, valid, _ = march_round(t, fars, alive, K, K_march)
+        if use_pallas:
+            t_new, ts, dt, valid = _mp.march_round_pallas(
+                t, fars, alive, rays_o, rays_d, field2d,
+                H=cfg.grid_size, Km=K_march, Ks=K, dt_min=cfg.dt_min,
+                dt_max=cfg.dt_max, gamma=cfg.dt_gamma, bound=cfg.bound,
+                interpret=interp)
+        else:
+            t_new, ts, dt, valid, _ = march_round(t, fars, alive, K,
+                                                  K_march)
         sig, rgb, valid_e, t_new = _eval_compacted(
             params, model_cfg, render_cfg, rays_o, rays_d, ts,
             valid, t_new, N, K)

@@ -28,8 +28,12 @@ echo "[queue] 1/7 pallas gather retest $(date)"
 timeout 2400 python -u perf/microbench_pallas.py > /tmp/r5_pallas.log 2>&1
 echo "[queue] rc=$?"
 
-echo "[queue] 2/7 sorted-gather locality $(date)"
+echo "[queue] 2/8 sorted-gather locality $(date)"
 timeout 2400 python -u perf/microbench_sorted_gather.py > /tmp/r5_sorted.log 2>&1
+echo "[queue] rc=$?"
+
+echo "[queue] 2b/8 pallas march-round A/B $(date)"
+timeout 2400 python -u perf/microbench_march_pallas.py > /tmp/r5_march.log 2>&1
 echo "[queue] rc=$?"
 
 echo "[queue] 3/7 flatten A/B on the warm bench state $(date)"

@@ -94,3 +94,46 @@ def test_march_round_pallas_dead_rays_freeze():
         bound=cfg.bound, interpret=True)
     assert not np.asarray(valid_p).any()
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(nears))
+
+
+def test_render_rays_infer_pallas_parity():
+    """render_rays_infer with infer_pallas_march=True must reproduce the
+    XLA-round images on a full 16384-ray chunk (interpret mode on CPU)."""
+    import dataclasses
+
+    from laenerf_tpu.models import NeRFConfig, RenderConfig
+    from laenerf_tpu.models.nerf import nerf_init
+    from laenerf_tpu.models.renderer import render_rays_infer
+
+    rng = np.random.default_rng(2)
+    H = 128
+    occ = (rng.random((1, H, H, H)) < 0.02).astype(np.uint8)
+    model_cfg = NeRFConfig(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    rc = RenderConfig(bound=1.0, cascades=1, grid_size=H, max_steps=128,
+                      march_iters=128, infer_chunk_events=16,
+                      infer_march_events=32, infer_compact_factor=4)
+    rc_p = dataclasses.replace(rc, infer_pallas_march=True)
+    params = nerf_init(jax.random.PRNGKey(0), model_cfg)
+
+    th = rng.uniform(0, 2 * np.pi, NR)
+    o = np.stack([2.5 * np.cos(th), 2.5 * np.sin(th),
+                  rng.uniform(-0.5, 0.5, NR)], 1).astype(np.float32)
+    tgt = rng.uniform(-0.6, 0.6, (NR, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    key = jax.random.PRNGKey(1)
+
+    out_x = render_rays_infer(params, jnp.asarray(occ), jnp.asarray(o),
+                              jnp.asarray(d), key, model_cfg=model_cfg,
+                              render_cfg=rc)
+    out_p = render_rays_infer(params, jnp.asarray(occ), jnp.asarray(o),
+                              jnp.asarray(d), key, model_cfg=model_cfg,
+                              render_cfg=rc_p)
+    img_x, img_p = np.asarray(out_x["image"]), np.asarray(out_p["image"])
+    # boundary-ulp skip reassociation may move O(1e-3) of rays' patterns;
+    # everything else must match tightly
+    close = np.all(np.abs(img_x - img_p) < 1e-3, axis=1)
+    assert close.mean() > 0.999, close.mean()
+    np.testing.assert_allclose(np.asarray(out_p["weights_sum"])[close],
+                               np.asarray(out_x["weights_sum"])[close],
+                               atol=1e-3)
