@@ -86,6 +86,14 @@ class RenderConfig:
     # (infer_march_events > slots), the compacted-eval capacity ladder,
     # 16k tile-ordered chunks, and the per-frame skip-field hoist.
     infer_compact_factor: int = 4
+    # Sort compacted samples by 3D Morton cell before the network forward:
+    # XLA TPU row gathers are locality-sensitive (2x faster from small
+    # operands, r2 microbench), and march output is ray-major — samples
+    # that are adjacent in space (and therefore in hash-table rows) arrive
+    # scattered. One [m_cap] argsort + a 4-wide unsort gather buys
+    # cell-contiguous encoder gathers (perf/microbench_sorted_gather.py
+    # measures the win). Off by default pending the on-silicon A/B.
+    sorted_eval: bool = False
     # Pallas march-round kernel (ops/march_pallas): the whole Km-event scan
     # in one kernel with the 2 MB skip field VMEM-resident, replacing Km
     # serialized XLA gathers (~8 ns/ray/event of pure gather latency) per
@@ -172,6 +180,34 @@ def _march_round(event, t, fars, alive, K_slots: int, K_march: int,
     return t_new, ts, dt, valid, eocc
 
 
+def _nerf_forward_sorted(params, model_cfg, xyz, dirs, bound):
+    """nerf_forward with samples sorted by Morton cell, results unsorted.
+
+    The [M] argsort and the 4-wide unsort gather are cheap at compacted-
+    buffer sizes (~0.5 ms at 128k rows); the payoff is cell-contiguous
+    encoder table gathers (RenderConfig.sorted_eval)."""
+    from ..ops.morton import morton3d
+
+    M = xyz.shape[0]
+    cell = jnp.clip((xyz + bound) * (512.0 / bound), 0, 1023).astype(
+        jnp.int32)
+    perm = jnp.argsort(morton3d(cell))
+    inv = jnp.argsort(perm)
+    sig_s, rgb_s = nerf_forward(params, model_cfg,
+                                jnp.take(xyz, perm, axis=0),
+                                jnp.take(dirs, perm, axis=0))
+    both = jnp.take(jnp.concatenate([sig_s[:, None], rgb_s], axis=1), inv,
+                    axis=0)
+    return both[:, 0], both[:, 1:]
+
+
+def _forward_maybe_sorted(params, model_cfg, render_cfg, xyz, dirs):
+    if render_cfg.sorted_eval:
+        return _nerf_forward_sorted(params, model_cfg, xyz, dirs,
+                                    render_cfg.bound)
+    return nerf_forward(params, model_cfg, xyz, dirs)
+
+
 def _background(params, model_cfg: NeRFConfig, rays_o, rays_d, bg_color):
     """Resolve the per-ray background color (renderer.py:276-282)."""
     if model_cfg.bg_radius > 0:
@@ -246,7 +282,8 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     # MLP activations at <= base_cap samples) fit HBM comfortably, and
     # rematerializing would repeat the encoder's 2M-row gather in the
     # backward (~19 ms/step measured)
-    network = lambda p, x, d: nerf_forward(p, model_cfg, x, d)
+    network = lambda p, x, d: _forward_maybe_sorted(p, model_cfg,
+                                                     render_cfg, x, d)
 
     def eval_at_cap(m_cap):
         def fn(_):
@@ -336,7 +373,8 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
             rd_c = jnp.take(rays_d, ray_ids, axis=0)
             xyz_c = jnp.clip(ro_c + ts_c[:, None] * rd_c, -render_cfg.bound,
                              render_cfg.bound)
-            sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c, rd_c)
+            sig_c, rgb_c = _forward_maybe_sorted(params, model_cfg,
+                                                 render_cfg, xyz_c, rd_c)
             sig_c = jnp.where(gather_mask,
                               sig_c * render_cfg.density_scale, 0.0)
             # one 4-wide row gather instead of separate sig/rgb gathers

@@ -67,3 +67,10 @@ echo "[queue] 7/7 bench (seeds the driver-run cache) $(date)"
 timeout 7200 python -u bench.py > /tmp/r5_bench.log 2>&1
 echo "[queue] rc=$?"
 echo "[queue] DONE $(date)"
+
+echo "[queue] 8/8 render sweep: pallas-march + sorted-eval end-to-end $(date)"
+timeout 7200 python -u perf/r5_render_sweep.py \
+  --configs march,sorted,pmarch,pmarch+sorted,pmarch+sorted+Km64 \
+  > /tmp/r5_sweep2.log 2>&1
+echo "[queue] rc=$?"
+echo "[queue] ALL DONE $(date)"

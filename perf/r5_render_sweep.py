@@ -50,6 +50,12 @@ CONFIGS = {
     "Km64": dict(infer_march_events=64),
     "cf2": dict(infer_compact_factor=2),
     "cf8": dict(infer_compact_factor=8),
+    # round-5 structural levers (committed behind flags):
+    "sorted": dict(sorted_eval=True),
+    "pmarch": dict(infer_pallas_march=True),
+    "pmarch+sorted": dict(infer_pallas_march=True, sorted_eval=True),
+    "pmarch+sorted+Km64": dict(infer_pallas_march=True, sorted_eval=True,
+                               infer_march_events=64),
 }
 CHUNKS = {"chunk32k": 32768, "chunk16k": 16384, "chunk8k": 8192}
 

@@ -137,3 +137,48 @@ def test_render_rays_infer_pallas_parity():
     np.testing.assert_allclose(np.asarray(out_p["weights_sum"])[close],
                                np.asarray(out_x["weights_sum"])[close],
                                atol=1e-3)
+
+
+def test_sorted_eval_parity():
+    """RenderConfig.sorted_eval must be a pure reordering: train-path loss
+    outputs and inference images identical to the unsorted eval."""
+    import dataclasses
+
+    from laenerf_tpu.models import NeRFConfig, RenderConfig
+    from laenerf_tpu.models.nerf import nerf_init
+    from laenerf_tpu.models.renderer import (render_rays_infer,
+                                             render_rays_train)
+
+    rng = np.random.default_rng(5)
+    H = 64
+    occ = (rng.random((1, H, H, H)) < 0.05).astype(np.uint8)
+    model_cfg = NeRFConfig(bound=1.0, num_levels=4, log2_hashmap_size=12)
+    rc = RenderConfig(bound=1.0, cascades=1, grid_size=H, max_steps=128,
+                      march_iters=128, m_cap_per_ray=32)
+    rc_s = dataclasses.replace(rc, sorted_eval=True)
+    params = nerf_init(jax.random.PRNGKey(0), model_cfg)
+
+    n = 2048
+    o = np.broadcast_to(np.array([0, 0, -2.5], np.float32), (n, 3)).copy()
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    key = jax.random.PRNGKey(1)
+
+    a = render_rays_train(params, jnp.asarray(occ), jnp.asarray(o),
+                          jnp.asarray(d), key, model_cfg=model_cfg,
+                          render_cfg=rc)
+    b = render_rays_train(params, jnp.asarray(occ), jnp.asarray(o),
+                          jnp.asarray(d), key, model_cfg=model_cfg,
+                          render_cfg=rc_s)
+    np.testing.assert_allclose(np.asarray(b["image"]),
+                               np.asarray(a["image"]), atol=1e-5)
+
+    ia = render_rays_infer(params, jnp.asarray(occ), jnp.asarray(o),
+                           jnp.asarray(d), key, model_cfg=model_cfg,
+                           render_cfg=rc)
+    ib = render_rays_infer(params, jnp.asarray(occ), jnp.asarray(o),
+                           jnp.asarray(d), key, model_cfg=model_cfg,
+                           render_cfg=rc_s)
+    np.testing.assert_allclose(np.asarray(ib["image"]),
+                               np.asarray(ia["image"]), atol=1e-5)
