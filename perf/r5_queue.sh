@@ -74,3 +74,8 @@ timeout 7200 python -u perf/r5_render_sweep.py \
   > /tmp/r5_sweep2.log 2>&1
 echo "[queue] rc=$?"
 echo "[queue] ALL DONE $(date)"
+
+echo "[queue] 9/9 train sorted-eval A/B $(date)"
+timeout 3600 python -u perf/r5_train_sorted_ab.py > /tmp/r5_train_sorted.log 2>&1
+echo "[queue] rc=$?"
+echo "[queue] FINAL DONE $(date)"
