@@ -144,7 +144,13 @@ def march_round_pallas(t, fars, alive, rays_o, rays_d, field2d, *, H, Km,
     mb = min(1.0, bound)
     scale = 0.5 * H / mb
     cell_world = (2.0 / H) * mb
-    rd = 1.0 / rays_d
+    # zero direction components: the XLA event subtracts before dividing
+    # (finite * inf = inf, harmless), but the kernel's reassociated
+    # c*A + D form would compute inf - inf = NaN — clamp |d| away from 0
+    # so the axis just never wins the exit-face min.
+    sgn0 = jnp.where(rays_d >= 0, 1.0, -1.0)
+    d_safe = jnp.where(jnp.abs(rays_d) < 1e-12, sgn0 * 1e-12, rays_d)
+    rd = 1.0 / d_safe
     sgn = jnp.sign(rays_d)
     # tv_a = ((c_a + 0.5 + 0.5*sgn_a) * (2/H) - 1) * mb * rd_a - pos_a*rd_a
     # with pos_a*rd_a = o_a*rd_a + t:  tv_a = c_a*A_a + D_a - t  (the -t and

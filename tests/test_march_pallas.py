@@ -182,3 +182,25 @@ def test_sorted_eval_parity():
                            render_cfg=rc_s)
     np.testing.assert_allclose(np.asarray(ib["image"]),
                                np.asarray(ia["image"]), atol=1e-5)
+
+
+def test_march_round_pallas_axis_aligned_rays():
+    """Rays with exactly-zero direction components (axis-aligned cameras)
+    must not NaN-poison the reassociated exit-face math."""
+    cfg, skip, _, _, _, _ = _setup(seed=3)
+    o = np.zeros((NR, 3), np.float32)
+    o[:, 2] = -2.5
+    d = np.zeros((NR, 3), np.float32)
+    d[:, 2] = 1.0  # dx = dy = 0 exactly
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1], jnp.float32)
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+    field2d = skip.reshape(cfg.grid_size * cfg.grid_size, cfg.grid_size)
+    t_p, ts_p, _, valid_p = march_round_pallas(
+        nears, fars, jnp.ones((NR,), bool), jnp.asarray(o), jnp.asarray(d),
+        field2d, H=cfg.grid_size, Km=32, Ks=16, dt_min=cfg.dt_min,
+        dt_max=cfg.dt_max, gamma=cfg.dt_gamma, bound=cfg.bound,
+        interpret=True)
+    assert np.isfinite(np.asarray(t_p)).all()
+    assert np.isfinite(np.asarray(ts_p)).all()
+    # all rays share one cell column; the ray either samples it or skips it
+    assert np.asarray(t_p).min() > float(np.asarray(nears).min())
