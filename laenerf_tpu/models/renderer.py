@@ -180,6 +180,26 @@ def _march_round(event, t, fars, alive, K_slots: int, K_march: int,
     return t_new, ts, dt, valid, eocc
 
 
+@jax.custom_vjp
+def _permute_rows(x, perm, inv):
+    """x[perm] with a gather (not scatter-add) backward: for a permutation,
+    d x = g[inv] — autodiff of jnp.take would emit an [M]-row scatter-add
+    on the train path."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return jnp.take(x, perm, axis=0), (perm, inv)
+
+
+def _permute_rows_bwd(res, g):
+    perm, inv = res
+    return jnp.take(g, inv, axis=0), None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def _nerf_forward_sorted(params, model_cfg, xyz, dirs, bound):
     """nerf_forward with samples sorted by Morton cell, results unsorted.
 
@@ -188,16 +208,15 @@ def _nerf_forward_sorted(params, model_cfg, xyz, dirs, bound):
     encoder table gathers (RenderConfig.sorted_eval)."""
     from ..ops.morton import morton3d
 
-    M = xyz.shape[0]
     cell = jnp.clip((xyz + bound) * (512.0 / bound), 0, 1023).astype(
         jnp.int32)
     perm = jnp.argsort(morton3d(cell))
     inv = jnp.argsort(perm)
     sig_s, rgb_s = nerf_forward(params, model_cfg,
-                                jnp.take(xyz, perm, axis=0),
-                                jnp.take(dirs, perm, axis=0))
-    both = jnp.take(jnp.concatenate([sig_s[:, None], rgb_s], axis=1), inv,
-                    axis=0)
+                                _permute_rows(xyz, perm, inv),
+                                _permute_rows(dirs, perm, inv))
+    both = _permute_rows(jnp.concatenate([sig_s[:, None], rgb_s], axis=1),
+                         inv, perm)
     return both[:, 0], both[:, 1:]
 
 

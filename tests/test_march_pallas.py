@@ -204,3 +204,41 @@ def test_march_round_pallas_axis_aligned_rays():
     assert np.isfinite(np.asarray(ts_p)).all()
     # all rays share one cell column; the ray either samples it or skips it
     assert np.asarray(t_p).min() > float(np.asarray(nears).min())
+
+
+def test_sorted_eval_gradients_match():
+    """sorted_eval must not change train-step gradients (the permutation
+    VJPs are exact inverses)."""
+    import dataclasses
+
+    from laenerf_tpu.models import NeRFConfig, RenderConfig
+    from laenerf_tpu.models.nerf import nerf_init
+    from laenerf_tpu.models.renderer import render_rays_train
+
+    rng = np.random.default_rng(7)
+    H = 32
+    occ = (rng.random((1, H, H, H)) < 0.1).astype(np.uint8)
+    model_cfg = NeRFConfig(bound=1.0, num_levels=3, log2_hashmap_size=10)
+    rc = RenderConfig(bound=1.0, cascades=1, grid_size=H, max_steps=64,
+                      march_iters=64, m_cap_per_ray=16)
+    rc_s = dataclasses.replace(rc, sorted_eval=True)
+    params = nerf_init(jax.random.PRNGKey(0), model_cfg)
+    n = 256
+    o = np.broadcast_to(np.array([0, 0, -2.5], np.float32), (n, 3)).copy()
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    key = jax.random.PRNGKey(1)
+    tgt = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    def loss(p, cfg):
+        out = render_rays_train(p, jnp.asarray(occ), jnp.asarray(o),
+                                jnp.asarray(d), key, model_cfg=model_cfg,
+                                render_cfg=cfg)
+        return jnp.mean((out["image"] - tgt) ** 2)
+
+    ga = jax.grad(lambda p: loss(p, rc))(params)
+    gb = jax.grad(lambda p: loss(p, rc_s))(params)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
+                                   atol=2e-6)
