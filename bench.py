@@ -55,10 +55,16 @@ def main():
     # march at 800^2, so those configs were deleted — the bench compiles a
     # single render graph, which also keeps setup_s and cache misses down
     # (VERDICT r4 #6).
+    # round-5 structural levers, togglable per run for A/Bs without edits
+    # (queued defaults flip only on measured wins, VERDICT r4 #2)
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
                               m_cap_per_ray=16, density_thresh=10.0,
-                              infer_chunk_events=16, infer_compact_factor=4)
+                              infer_chunk_events=16, infer_compact_factor=4,
+                              sorted_eval=os.environ.get(
+                                  "LAENERF_SORTED_EVAL", "0") == "1",
+                              infer_pallas_march=os.environ.get(
+                                  "LAENERF_PALLAS_MARCH", "0") == "1")
     # eval_chunk 16384: the r5 chunk sweep (perf/r5_render_sweep.py) found
     # 16k chunks ~8-27% faster than 32k at 800^2 (smaller chunks retire
     # sooner, so dead rays pay fewer march-scan gathers); 8k/4k lose to
