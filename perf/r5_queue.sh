@@ -7,12 +7,15 @@
 set -u
 cd /root/repo
 
-GATE_PID=$(cat /tmp/qgate_r5.pid 2>/dev/null || echo "")
-if [ -n "$GATE_PID" ]; then
-  echo "[queue] waiting for quality gate (pid $GATE_PID) $(date)"
-  while kill -0 "$GATE_PID" 2>/dev/null; do sleep 60; done
-fi
-echo "[queue] gate done $(date)"
+# wait on the artifact, not a PID: the gate may be restarted by
+# perf/gate_watchdog.sh across tunnel stalls. Cap the wait at 4 h.
+echo "[queue] waiting for quality gate artifact $(date)"
+for i in $(seq 1 240); do
+  [ -f /tmp/qgate_r5/quality_gate.json ] && break
+  # also stop waiting if the watchdog gave up AND nothing is running
+  sleep 60
+done
+echo "[queue] gate wait over $(date)"
 if [ -f /tmp/qgate_r5/quality_gate.json ]; then
   cp /tmp/qgate_r5/quality_gate.json docs/quality_gate_r5.json
   echo "[queue] quality_gate_r5.json landed"

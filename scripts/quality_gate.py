@@ -129,7 +129,10 @@ if not args.eval_only:
                   f"samples/ray {spr:.1f} (cap {_mc})",
                   flush=True)
             last = now
-            if (step + 1) % 5000 == 0:
+            # every 2000: the axon tunnel can stall mid-run (r5: twice in
+            # one evening); the watchdog resumes from `latest`, so the
+            # interval bounds lost work
+            if (step + 1) % 2000 == 0:
                 tr.save_checkpoint()
     jax.block_until_ready(tr.state.params)
     train_time = time.time() - t0
