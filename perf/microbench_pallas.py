@@ -214,3 +214,71 @@ def p5(x):
 chain_time(p5, jnp.zeros((1,)), NR, label="P5 XLA flat byte gather (16k rays)")
 
 print("done", flush=True)
+
+# --- P3b/c/d: WIDE-LANE gather (rows few, lanes many) -----------------------
+# The march kernel's only Mosaic-viable formulation on this toolchain:
+# field as [8, 262144] (x-octant rows, x1*yz lanes), per-event lane gather
+# of 16384 ray columns per row + a one-hot sublane reduce. These probes
+# measure whether take_along_axis(axis=1) survives (and at what cost) when
+# rows span many lane-tiles.
+for rows, lanes in ((8, 262144), (16, 131072), (64, 32768), (128, 16384)):
+    tbl_w = jax.random.randint(key, (rows, lanes), 0, 8, jnp.int8)
+    NRAY = 16384
+    li = jax.random.randint(jax.random.PRNGKey(7), (1, NRAY), 0, lanes,
+                            jnp.int32)
+
+    def _k_wide(tbl_ref, idx_ref, out_ref, rows=rows, lanes=lanes):
+        idx_b = jnp.broadcast_to(idx_ref[:], (rows, NRAY))
+        out_ref[:] = jnp.take_along_axis(tbl_ref[:], idx_b, axis=1,
+                                         mode="promise_in_bounds")
+
+    def mk(rows=rows, lanes=lanes, tbl_w=tbl_w, li=li, k=_k_wide):
+        @jax.jit
+        def f(x):
+            i2 = (li + x[0].astype(jnp.int32)) % lanes
+            out = pl.pallas_call(
+                k,
+                out_shape=jax.ShapeDtypeStruct((rows, NRAY), jnp.int8),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(tbl_w, i2)
+            return x + jnp.sum(out[:, :1].astype(jnp.int32), axis=0).astype(
+                jnp.float32)
+        return f
+
+    chain_time(mk(), jnp.zeros((1,)), NRAY,
+               label=f"P3x wide-lane gather [{rows}x{lanes}] i8 (16k rays)")
+
+# --- P6: full two-step march probe: wide gather + one-hot x-select ----------
+R8, L8 = 8, 262144
+tbl8 = jax.random.randint(key, (R8, L8), 0, 8, jnp.int8)
+lane_i = jax.random.randint(jax.random.PRNGKey(8), (1, 16384), 0, L8,
+                            jnp.int32)
+row_i = jax.random.randint(jax.random.PRNGKey(9), (1, 16384), 0, R8,
+                           jnp.int32)
+
+
+def _k_two_step(tbl_ref, lane_ref, row_ref, out_ref):
+    idx_b = jnp.broadcast_to(lane_ref[:], (R8, 16384))
+    got = jnp.take_along_axis(tbl_ref[:], idx_b, axis=1,
+                              mode="promise_in_bounds")  # [8, 16384]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (R8, 16384), 0)
+    sel = jnp.where(sub == jnp.broadcast_to(row_ref[:], (R8, 16384)),
+                    got.astype(jnp.int32), 0)
+    out_ref[:] = jnp.sum(sel, axis=0, keepdims=True)  # [1, 16384]
+
+
+@jax.jit
+def p6(x):
+    l2 = (lane_i + x[0].astype(jnp.int32)) % L8
+    out = pl.pallas_call(
+        _k_two_step,
+        out_shape=jax.ShapeDtypeStruct((1, 16384), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(tbl8, l2, row_i)
+    return x + jnp.sum(out[:, :1], axis=0).astype(jnp.float32)
+
+chain_time(p6, jnp.zeros((1,)), 16384,
+           label="P6 two-step march probe [8x262144] (16k rays)")
+print("wide-lane probes done", flush=True)
