@@ -341,7 +341,22 @@ def _octo_view_cvjp_fwd(table, spec, dtype):
 
 
 def _octo_view_cvjp_bwd(spec, dtype, _, g):
+    import os
+
     C = spec.level_dim
+    if os.environ.get("LAENERF_OCTO_FOLD", "transposed") == "xla":
+        # the pre-r5 autodiff-equivalent fold (narrow [size, C] roll temps;
+        # tile-pads 64x at C=2 — OOMs big configs, kept for runtime A/Bs)
+        parts = []
+        for level, g_l in enumerate(g):
+            offs = _octo_corner_offsets(spec, level)
+            gf = g_l.astype(jnp.float32)
+            acc = gf[:, 0:C]
+            for c in range(1, 8):
+                acc = acc + jnp.roll(gf[:, c * C:(c + 1) * C], offs[c],
+                                     axis=0)
+            parts.append(acc)
+        return (jnp.concatenate(parts, axis=0),)
     parts = [
         _octo_fold_level(g_l, _octo_corner_offsets(spec, level), C)
         for level, g_l in enumerate(g)

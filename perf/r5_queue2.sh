@@ -56,3 +56,8 @@ timeout 7200 python -u perf/r5_render_sweep.py \
   --configs march,sorted,pmarch > /tmp/r5_sweep2.log 2>&1
 echo "[q2] rc=$?"
 echo "[q2] ALL DONE $(date)"
+
+echo "[q2] 10 fold A/B (one process) $(date)"
+timeout 3600 python -u perf/r5_fold_ab.py > /tmp/r5_fold_ab.log 2>&1
+echo "[q2] rc=$?"
+echo "[q2] REALLY ALL DONE $(date)"
