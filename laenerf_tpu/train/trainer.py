@@ -67,15 +67,17 @@ def _put_tree(tree, ids, new):
 def make_optimizer(lr: float, iters: int):
     """Adam + LambdaLR 0.1**(step/iters) (main_nerf.py:223-240).
 
-    optax.flatten runs the update math on one flat vector: the [T, 4]
-    hash-table leaf processes at ~75 GB/s effective in elementwise kernels
-    (narrow-lane tiling) vs ~430 GB/s flat (measured r5, docs/PERF.md), so
-    flattening the 4-array adam traffic pays for the reshape passes.
-    LAENERF_FLAT_OPT=0 opts out (also restores the r4 opt_state pytree
-    structure for old checkpoints)."""
+    LAENERF_FLAT_OPT=1 wraps adam in optax.flatten (one flat update
+    vector). The microbench motivation (narrow-lane elementwise passes on
+    the [T, 4] table run ~5x slower than flat, docs/PERF.md r5) did NOT
+    survive the end-to-end A/B: the flatten concat/split traffic costs
+    more than the lane tax saves (92 -> 109 ms/step on the warm bench
+    state, perf/r5_train_probe.py flat0 vs flat1 logs), and the flat
+    layout added enough temp pressure to OOM the L16C2 gate compile.
+    Default OFF; kept as an opt-in for future toolchains."""
     schedule = lambda step: lr * (0.1 ** jnp.minimum(step / iters, 1.0))
     opt = optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
-    if os.environ.get("LAENERF_FLAT_OPT", "1") != "0":
+    if os.environ.get("LAENERF_FLAT_OPT", "0") == "1":
         opt = optax.flatten(opt)
     return opt
 
