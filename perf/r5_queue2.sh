@@ -61,3 +61,8 @@ echo "[q2] 10 fold A/B (one process) $(date)"
 timeout 3600 python -u perf/r5_fold_ab.py > /tmp/r5_fold_ab.log 2>&1
 echo "[q2] rc=$?"
 echo "[q2] REALLY ALL DONE $(date)"
+
+echo "[q2] 11 train-view PSNR decomposition $(date)"
+timeout 3600 python -u perf/r5_trainview_eval.py > /tmp/r5_trainview.log 2>&1
+echo "[q2] rc=$?"
+echo "[q2] TRULY ALL DONE $(date)"
