@@ -55,16 +55,14 @@ def main():
     # march at 800^2, so those configs were deleted — the bench compiles a
     # single render graph, which also keeps setup_s and cache misses down
     # (VERDICT r4 #6).
-    # round-5 structural levers, togglable per run for A/Bs without edits
-    # (queued defaults flip only on measured wins, VERDICT r4 #2)
+    # The round-5 structural levers (sorted_eval, Pallas march round) were
+    # A/B'd on silicon and deleted: sorted lost 9.5% end-to-end (gathers
+    # are latency-bound per row, order-insensitive) and Mosaic cannot
+    # lower the march kernel's shape cast (docs/PERF.md round 5).
     render_cfg = RenderConfig(bound=1.0, cascades=1, grid_size=128,
                               max_steps=256, march_iters=256,
                               m_cap_per_ray=16, density_thresh=10.0,
-                              infer_chunk_events=16, infer_compact_factor=4,
-                              sorted_eval=os.environ.get(
-                                  "LAENERF_SORTED_EVAL", "0") == "1",
-                              infer_pallas_march=os.environ.get(
-                                  "LAENERF_PALLAS_MARCH", "0") == "1")
+                              infer_chunk_events=16, infer_compact_factor=4)
     # eval_chunk 16384: the r5 chunk sweep (perf/r5_render_sweep.py) found
     # 16k chunks ~8-27% faster than 32k at 800^2 (smaller chunks retire
     # sooner, so dead rays pay fewer march-scan gathers); 8k/4k lose to
@@ -78,7 +76,13 @@ def main():
     # occ_frac < 0.035 landed at 0.0112 in r2 vs 0.0206 in r3, making
     # ms/frame incomparable). A fixed budget means occ_frac varies only
     # with code changes — which is exactly what the bench should see.
-    warm_steps = 1024
+    # 1536, not 1024: the r5 occupancy-update redesign (stratified 2x2x2
+    # sweep, full grid coverage every 8 updates instead of 12x
+    # oversampling per update) reaches the pruned steady state later —
+    # at step 1024 the grid is mid-prune (occ 0.187) where r4's update
+    # landed at 0.021. By 1280-1536 the r5 grid is at its steady state
+    # (~0.008, TIGHTER than r4). Still a fixed budget for reproducibility.
+    warm_steps = 1536
     for step in range(warm_steps):
         tr.train_one_batch(ds.get_batch(step % len(ds)), has_alpha=True)
         if (step + 1) % 256 == 0:

@@ -86,22 +86,13 @@ class RenderConfig:
     # (infer_march_events > slots), the compacted-eval capacity ladder,
     # 16k tile-ordered chunks, and the per-frame skip-field hoist.
     infer_compact_factor: int = 4
-    # Sort compacted samples by 3D Morton cell before the network forward:
-    # XLA TPU row gathers are locality-sensitive (2x faster from small
-    # operands, r2 microbench), and march output is ray-major — samples
-    # that are adjacent in space (and therefore in hash-table rows) arrive
-    # scattered. One [m_cap] argsort + a 4-wide unsort gather buys
-    # cell-contiguous encoder gathers (perf/microbench_sorted_gather.py
-    # measures the win). Off by default pending the on-silicon A/B.
-    sorted_eval: bool = False
-    # Pallas march-round kernel (ops/march_pallas): the whole Km-event scan
-    # in one kernel with the 2 MB skip field VMEM-resident, replacing Km
-    # serialized XLA gathers (~8 ns/ray/event of pure gather latency) per
-    # round. Engages only when the chunk is exactly 16384 rays, cascades=1
-    # and grid_size=128 (the kernel's same-shape gather constraint); other
-    # shapes keep the XLA event scan. Off by default until the on-silicon
-    # A/B (perf/microbench_march_pallas.py) proves it.
-    infer_pallas_march: bool = False
+    # Two round-5 structural levers were built here and DELETED after the
+    # on-silicon A/Bs (docs/PERF.md round 5): Morton-sorting the compacted
+    # samples before the network forward (index ORDER does not change XLA
+    # TPU gather cost — the engine is latency-bound per row; 1675 vs
+    # 1529 ms/frame end-to-end), and a Pallas whole-round march kernel
+    # (Mosaic cannot lower the [128,128]->[16384,1] shape cast its
+    # two-step skip-field gather needs on this toolchain).
 
     @property
     def march_cfg(self) -> MarchConfig:
@@ -180,53 +171,6 @@ def _march_round(event, t, fars, alive, K_slots: int, K_march: int,
     return t_new, ts, dt, valid, eocc
 
 
-@jax.custom_vjp
-def _permute_rows(x, perm, inv):
-    """x[perm] with a gather (not scatter-add) backward: for a permutation,
-    d x = g[inv] — autodiff of jnp.take would emit an [M]-row scatter-add
-    on the train path."""
-    return jnp.take(x, perm, axis=0)
-
-
-def _permute_rows_fwd(x, perm, inv):
-    return jnp.take(x, perm, axis=0), (perm, inv)
-
-
-def _permute_rows_bwd(res, g):
-    perm, inv = res
-    return jnp.take(g, inv, axis=0), None, None
-
-
-_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
-
-
-def _nerf_forward_sorted(params, model_cfg, xyz, dirs, bound):
-    """nerf_forward with samples sorted by Morton cell, results unsorted.
-
-    The [M] argsort and the 4-wide unsort gather are cheap at compacted-
-    buffer sizes (~0.5 ms at 128k rows); the payoff is cell-contiguous
-    encoder table gathers (RenderConfig.sorted_eval)."""
-    from ..ops.morton import morton3d
-
-    cell = jnp.clip((xyz + bound) * (512.0 / bound), 0, 1023).astype(
-        jnp.int32)
-    perm = jnp.argsort(morton3d(cell))
-    inv = jnp.argsort(perm)
-    sig_s, rgb_s = nerf_forward(params, model_cfg,
-                                _permute_rows(xyz, perm, inv),
-                                _permute_rows(dirs, perm, inv))
-    both = _permute_rows(jnp.concatenate([sig_s[:, None], rgb_s], axis=1),
-                         inv, perm)
-    return both[:, 0], both[:, 1:]
-
-
-def _forward_maybe_sorted(params, model_cfg, render_cfg, xyz, dirs):
-    if render_cfg.sorted_eval:
-        return _nerf_forward_sorted(params, model_cfg, xyz, dirs,
-                                    render_cfg.bound)
-    return nerf_forward(params, model_cfg, xyz, dirs)
-
-
 def _background(params, model_cfg: NeRFConfig, rays_o, rays_d, bg_color):
     """Resolve the per-ray background color (renderer.py:276-282)."""
     if model_cfg.bg_radius > 0:
@@ -301,8 +245,7 @@ def render_rays_train(params, occupancy, rays_o, rays_d, key, *,
     # MLP activations at <= base_cap samples) fit HBM comfortably, and
     # rematerializing would repeat the encoder's 2M-row gather in the
     # backward (~19 ms/step measured)
-    network = lambda p, x, d: _forward_maybe_sorted(p, model_cfg,
-                                                     render_cfg, x, d)
+    network = lambda p, x, d: nerf_forward(p, model_cfg, x, d)
 
     def eval_at_cap(m_cap):
         def fn(_):
@@ -392,8 +335,7 @@ def _eval_compacted(params, model_cfg, render_cfg, rays_o, rays_d, ts,
             rd_c = jnp.take(rays_d, ray_ids, axis=0)
             xyz_c = jnp.clip(ro_c + ts_c[:, None] * rd_c, -render_cfg.bound,
                              render_cfg.bound)
-            sig_c, rgb_c = _forward_maybe_sorted(params, model_cfg,
-                                                 render_cfg, xyz_c, rd_c)
+            sig_c, rgb_c = nerf_forward(params, model_cfg, xyz_c, rd_c)
             sig_c = jnp.where(gather_mask,
                               sig_c * render_cfg.density_scale, 0.0)
             # one 4-wide row gather instead of separate sig/rgb gathers
@@ -475,27 +417,11 @@ def render_rays_infer(params, occupancy, rays_o, rays_d, key, *,
 
     K_march = render_cfg.infer_march_events or K
     march_round = _make_round(rays_o, rays_d, skip_flat, None, cfg)
-    from ..ops import march_pallas as _mp
-
-    use_pallas = (render_cfg.infer_pallas_march and cfg.cascades == 1
-                  and N == _mp.NR and cfg.grid_size ** 2 == _mp.NR
-                  and K_march > K)
-    if use_pallas:
-        field2d = skip_flat.reshape(cfg.grid_size ** 2, cfg.grid_size)
-        interp = jax.default_backend() != "tpu"
 
     def body(c):
         t, acc = c["t"], c["acc"]
         alive = (acc["T"] >= render_cfg.t_thresh) & (t < fars)
-        if use_pallas:
-            t_new, ts, dt, valid = _mp.march_round_pallas(
-                t, fars, alive, rays_o, rays_d, field2d,
-                H=cfg.grid_size, Km=K_march, Ks=K, dt_min=cfg.dt_min,
-                dt_max=cfg.dt_max, gamma=cfg.dt_gamma, bound=cfg.bound,
-                interpret=interp)
-        else:
-            t_new, ts, dt, valid, _ = march_round(t, fars, alive, K,
-                                                  K_march)
+        t_new, ts, dt, valid, _ = march_round(t, fars, alive, K, K_march)
         sig, rgb, valid_e, t_new = _eval_compacted(
             params, model_cfg, render_cfg, rays_o, rays_d, ts,
             valid, t_new, N, K)

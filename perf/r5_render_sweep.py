@@ -50,12 +50,11 @@ CONFIGS = {
     "Km64": dict(infer_march_events=64),
     "cf2": dict(infer_compact_factor=2),
     "cf8": dict(infer_compact_factor=8),
-    # round-5 structural levers (committed behind flags):
-    "sorted": dict(sorted_eval=True),
-    "pmarch": dict(infer_pallas_march=True),
-    "pmarch+sorted": dict(infer_pallas_march=True, sorted_eval=True),
-    "pmarch+sorted+Km64": dict(infer_pallas_march=True, sorted_eval=True,
-                               infer_march_events=64),
+    # The round-5 structural levers measured here on 2026-08-20 and then
+    # deleted per VERDICT r4 #2 (march 1529.2 ms vs sorted 1675.2, exact
+    # parity; pmarch / pmarch+sorted: MosaicError "infer-vector-layout:
+    # unsupported shape cast vector<128x128xi32> -> vector<16384x1xi32>"):
+    # sorted_eval, infer_pallas_march.
 }
 CHUNKS = {"chunk32k": 32768, "chunk16k": 16384, "chunk8k": 8192}
 
